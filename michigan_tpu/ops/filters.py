@@ -1,0 +1,135 @@
+"""Oriented filter banks (Gabor / DoG) and dense-orientation estimation.
+
+The reference builds one 17x17 kernel per orientation and runs 32 sequential
+`F.conv2d` calls (loss.py:293-318, cal_orientation.py:60-80).  Here the whole
+bank is a single precomputed (17,17,1,32) filter tensor and one conv — the MXU
+does all 32 orientations at once.  Kernel math matches gabor_fn/DoG_fn
+(loss.py:215-271) exactly: x runs along the first spatial dim, y along the
+second, sigma_x=2 sigma_y=3 lambda=4 psi=0 (Gabor); sigma_h=1 sigma_l=2
+sigma_y=2 (DoG).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_KERNELS = 32
+KERNEL_SIZE = 17
+
+
+def _grid(kernel_size: int):
+    r = kernel_size // 2
+    coords = np.arange(-r, r + 1, dtype=np.float32)
+    # reference: x varies along rows (first spatial dim), y along cols
+    x = coords[:, None] * np.ones((1, kernel_size), np.float32)
+    y = np.ones((kernel_size, 1), np.float32) * coords[None, :]
+    return x, y
+
+
+@functools.lru_cache(maxsize=8)
+def gabor_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
+    """(k, k, 1, num) HWIO Gabor bank; theta_i = pi*i/num (loss.py:215-243)."""
+    x, y = _grid(kernel_size)
+    sigma_x, sigma_y, lam, psi = 2.0, 3.0, 4.0, 0.0
+    kernels = []
+    for i in range(num):
+        t = math.pi * i / num
+        xt = x * math.cos(t) + y * math.sin(t)
+        yt = -x * math.sin(t) + y * math.cos(t)
+        gb = np.exp(-0.5 * (xt**2 / sigma_x**2 + yt**2 / sigma_y**2)) * np.cos(
+            2.0 * math.pi / lam * xt + psi
+        )
+        kernels.append(gb.astype(np.float32))
+    return jnp.asarray(np.stack(kernels, axis=-1)[:, :, None, :])
+
+
+@functools.lru_cache(maxsize=8)
+def dog_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
+    """(k, k, 1, num) HWIO DoG bank (loss.py:245-271, cal_orientation.py:18-44)."""
+    x, y = _grid(kernel_size)
+    sigma_h, sigma_l, sigma_y = 1.0, 2.0, 2.0
+    kernels = []
+    for i in range(num):
+        t = math.pi * i / num
+        xt = x * math.cos(t) + y * math.sin(t)
+        yt = -x * math.sin(t) + y * math.cos(t)
+        gb = (
+            np.exp(-0.5 * (xt**2 / sigma_h**2 + yt**2 / sigma_y**2)) / sigma_h
+            - np.exp(-0.5 * (xt**2 / sigma_l**2 + yt**2 / sigma_y**2)) / sigma_l
+        ) / (1.0 / sigma_h - 1.0 / sigma_l)
+        kernels.append(gb.astype(np.float32))
+    return jnp.asarray(np.stack(kernels, axis=-1)[:, :, None, :])
+
+
+def rgb_to_gray255(image_pm1: jax.Array) -> jax.Array:
+    """[-1,1] NHWC RGB -> single-channel gray in [0,255] (loss.py:357-359).
+
+    Note the reference's blue weight is 0.144 (not .114) — kept for parity.
+    """
+    img = (image_pm1 + 1.0) / 2.0 * 255.0
+    gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.144 * img[..., 2]
+    return gray[..., None]
+
+
+def filter_bank_conv(gray: jax.Array, bank: jnp.ndarray, padding: int = 8) -> jax.Array:
+    """One conv over the whole bank: (N,H,W,1) -> (N,H,W,num)."""
+    return jax.lax.conv_general_dilated(
+        gray.astype(jnp.float32),
+        bank,
+        window_strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,  # argmax stability needs fp32
+    )
+
+
+def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8):
+    """Per-pixel (argmax index, raw max response) over the oriented bank.
+
+    Equivalent to the loop + clamp + argmax in loss.py:293-311 — responses
+    are clamped at 0 before the argmax, ties resolve to the first index like
+    torch.argmax on CPU.
+    """
+    bank = gabor_bank() if mode == "gabor" else dog_bank()
+    res = filter_bank_conv(gray, bank, padding)
+    res = jnp.maximum(res, 0.0)
+    idx = jnp.argmax(res, axis=-1)
+    raw_conf = jnp.max(res, axis=-1)
+    return idx, raw_conf
+
+
+def cal_orientation_two_channel(
+    image_pm1: jax.Array, mode: str = "gabor", hair_mask: jax.Array | None = None
+):
+    """(sin 2theta, cos 2theta) * confidence + confidence map, NHWC.
+
+    Gabor path squashes confidence with (tanh+1)/2 (loss.py:311); DoG path
+    masks and max-normalizes it (loss.py:337-343).  Gradients flow through the
+    max response only, matching torch.
+    """
+    gray = rgb_to_gray255(image_pm1)
+    idx, raw_conf = orientation_response(gray, mode)
+    theta = idx.astype(jnp.float32) * (math.pi / NUM_KERNELS)
+    if mode == "gabor":
+        conf = (jnp.tanh(raw_conf) + 1.0) / 2.0
+    else:
+        conf = raw_conf[..., None]
+        if hair_mask is not None:
+            conf = conf * hair_mask
+        conf = conf / jnp.maximum(jnp.max(conf), 1e-12)
+        conf = jnp.where(conf <= 0, 0.0, conf)
+        conf = conf[..., 0]
+    two = jnp.stack([jnp.sin(2.0 * theta), jnp.cos(2.0 * theta)], axis=-1)
+    two = two * conf[..., None]
+    return two, conf[..., None]
+
+
+def dense_orientation(gray: jax.Array, mode: str = "dog", padding: int = 8):
+    """cal_orientation.py:60-80 — (argmax float map, confidence), NHW1."""
+    idx, raw_conf = orientation_response(gray, mode, padding)
+    return idx.astype(jnp.float32)[..., None], raw_conf[..., None]

@@ -1,0 +1,103 @@
+"""Functional normalization primitives.
+
+Cross-replica batch norm is the TPU replacement for the reference's entire
+distributed stack (sync_batchnorm/: thread+queue master/slave reduce-broadcast
+over DataParallel replicas, batchnorm.py:51-145).  On TPU the per-shard
+(sum, sum-of-squares, count) triple is combined with a single `lax.psum` over
+the data-parallel mesh axis — one collective, no choreography.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """nn.InstanceNorm2d(affine=False) on NHWC: per-(N,C) over spatial dims.
+
+    torch normalizes by biased variance with eps inside the sqrt.
+    """
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def batch_stats(x: jax.Array, axis_name: Optional[str] = None):
+    """Per-channel (mean, biased var, count) over (N,H,W), psum'd across the
+    data-parallel axis when present.  Mirrors the math of
+    sync_batchnorm/batchnorm.py:74-145: normalize with biased variance,
+    maintain running stats with unbiased variance.
+    """
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    s = x.sum(axis=(0, 1, 2))
+    ss = (x * x).sum(axis=(0, 1, 2))
+    count = jnp.asarray(n, dtype=x.dtype)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        ss = jax.lax.psum(ss, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    mean = s / count
+    var_biased = ss / count - mean * mean
+    return mean, var_biased, count
+
+
+def batch_norm_train(
+    x: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+):
+    """Training-mode BN (affine-free). Returns (y, new_mean, new_var).
+
+    Running stats use the *unbiased* variance (batchnorm.py:137-145);
+    normalization uses the biased one.
+    """
+    mean, var_b, count = batch_stats(x.astype(jnp.float32), axis_name)
+    inv = jax.lax.rsqrt(var_b + eps)
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    var_unbiased = var_b * (count / jnp.maximum(count - 1.0, 1.0))
+    new_mean = (1 - momentum) * running_mean + momentum * mean
+    new_var = (1 - momentum) * running_var + momentum * var_unbiased
+    return y, new_mean, new_var
+
+
+def batch_norm_eval(
+    x: jax.Array, running_mean: jax.Array, running_var: jax.Array, eps: float = 1e-5
+) -> jax.Array:
+    """Eval-mode BN from running stats (batchnorm.py:64-68 fallback path)."""
+    inv = jax.lax.rsqrt(running_var + eps)
+    return (x - running_mean.astype(x.dtype)) * inv.astype(x.dtype)
+
+
+def l2_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize(dim=0) semantics: v / max(||v||, eps)."""
+    return v / jnp.maximum(jnp.linalg.norm(v), eps)
+
+
+def spectral_normalize(
+    w_mat: jax.Array, u: jax.Array, v: jax.Array, n_iter: int = 1, update: bool = True
+):
+    """torch-style spectral norm power iteration on w_mat (out, in_flat).
+
+    Training (update=True): run `n_iter` iterations (v = norm(W^T u);
+    u = norm(W v)) under stop_gradient, then sigma = u . (W v) with the
+    detached u, v — exactly torch's compute_weight.  Eval reuses the stored
+    (u, v) without iterating.  Returns (sigma, u_new, v_new).
+    """
+    if update:
+        w_sg = jax.lax.stop_gradient(w_mat)
+
+        def body(_, carry):
+            u_c, _v = carry
+            v_n = l2_normalize(w_sg.T @ u_c)
+            u_n = l2_normalize(w_sg @ v_n)
+            return u_n, v_n
+
+        u, v = jax.lax.fori_loop(0, n_iter, body, (u, v))
+    sigma = jnp.dot(u, w_mat @ v)
+    return sigma, u, v
