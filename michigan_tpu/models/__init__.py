@@ -1,0 +1,48 @@
+"""Flax network zoo mirroring the reference's models/networks/ inventory.
+
+Factories follow reference models/networks/__init__.py:51-85 but with an
+explicit registry instead of string reflection.
+"""
+
+from michigan_tpu.models.generator import SPADEBGenerator
+from michigan_tpu.models.inpaint import InpaintGenerator, SInpaintGenerator, SelfAttention
+from michigan_tpu.models.discriminator import MultiscaleDiscriminator, NLayerDiscriminator
+from michigan_tpu.models.encoders import (
+    ConvEncoder,
+    ImageEncoder,
+    ImageEncoder2,
+    ImageEncoder3,
+    BackgroundEncode,
+    BackgroundEncode2,
+)
+from michigan_tpu.models.blend import Blend2Generator
+from michigan_tpu.models.vgg import VGG19
+
+GENERATORS = {"spadeb": SPADEBGenerator}
+DISCRIMINATORS = {"multiscale": MultiscaleDiscriminator, "n_layer": NLayerDiscriminator}
+INPAINTERS = {"inpaint": InpaintGenerator, "sinpaint": SInpaintGenerator}
+BLENDERS = {"blend2": Blend2Generator}
+
+
+def define_G(opt):
+    return GENERATORS[opt.netG](opt=opt)
+
+
+def define_D(opt):
+    return DISCRIMINATORS[opt.netD](opt=opt)
+
+
+def define_E(opt):
+    return ConvEncoder(opt=opt)
+
+
+def define_IG(opt):
+    return INPAINTERS[opt.netIG](opt=opt)
+
+
+def define_SIG(opt):
+    return INPAINTERS[opt.netSIG](opt=opt)
+
+
+def define_B(opt):
+    return BLENDERS[opt.netB](opt=opt)
