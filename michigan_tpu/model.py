@@ -1,0 +1,437 @@
+"""MichiGAN model orchestrator — the reference `Pix2PixModel`
+(models/pix2pix_model.py:18-610) re-designed as pure jit-compiled functions.
+
+The reference funnels everything through `forward(data, mode)` because
+DataParallel can only parallelize `forward` (pix2pix_model.py:58-61).  Here
+each behavior is its own pure function over explicit variable trees:
+
+  preprocess(batch)            one-hot labels, instance edges
+  inpaint_orient(...)          IG path (pix2pix_model.py:407-429)
+  inpaint_stroke_orient(...)   SIG path (pix2pix_model.py:431-464)
+  generate_fake(...)           VAE + zeros-pad + netG + netB (:495-541)
+  discriminate(...)            fake+real single batch + divide (:546-594)
+  generator_loss(...)          (:257-365)
+  discriminator_loss(...)      (:367-398)
+  infer(...)                   'inference'/'demo_inference' modes (:80-120)
+
+All arrays NHWC.  `variables` is a dict of per-net flax variable trees:
+{'netG':…, 'netD':…, 'netE':…, 'netIG':…, 'netSIG':…, 'netB':…, 'vgg':…}.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from michigan_tpu import models as nets
+from michigan_tpu import losses as L
+from michigan_tpu.models.generator import orient_to_two_channel
+from michigan_tpu.models.vgg import VGG19
+from michigan_tpu.ops.masks import instance_edges, one_hot_label
+from michigan_tpu.ops.resize import resize_nearest
+
+
+class MichiGANModel:
+    """Holds static config + module definitions; all methods are pure in
+    (variables, batch) and safe to close over in jit."""
+
+    def __init__(self, opt, axis_name: Optional[str] = None):
+        self.opt = opt
+        self.axis_name = axis_name
+        self.netG = nets.define_G(opt, axis_name)
+        self.netD = nets.define_D(opt, axis_name) if opt.isTrain else None
+        self.netD2 = (
+            nets.define_D(opt, axis_name) if (opt.isTrain and opt.unpairTrain) else None
+        )
+        self.netE = nets.define_E(opt, axis_name) if opt.use_vae else None
+        self.netIG = nets.define_IG(opt) if opt.use_ig else None
+        self.netSIG = nets.define_SIG(opt) if opt.use_stroke else None
+        self.netB = nets.define_B(opt) if opt.use_blender else None
+        self.vgg = VGG19() if opt.isTrain else None
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_variables(self, rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
+        opt = self.opt
+        pre = self.preprocess(batch)
+        keys = jax.random.split(rng, 8)
+        out: Dict[str, Any] = {}
+
+        orient_for_g = pre["orient"]
+        if opt.use_ig:
+            s = pre["input_tag"].shape[1]
+            orient_for_g = jnp.zeros(pre["input_tag"].shape[:3] + (2,))
+        z = None
+        if opt.use_vae:
+            out["netE"] = self.netE.init(keys[3], pre["image_ref"])
+            z = jnp.zeros((pre["image_ref"].shape[0], opt.z_dim))
+
+        gin = self._padded_gen_inputs(pre, orient_for_g)
+        out["netG"] = self.netG.init(
+            keys[0], gin["input_ref"], gin["input_tag"], gin["orient"],
+            gin["image_ref"], gin["image_tag"], gin["noise"], z=z, train=opt.isTrain,
+        )
+        if self.netD is not None:
+            s = pre["input_tag"].shape[1]
+            dummy = jnp.zeros((2, s, s, opt.d_input_nc()))
+            out["netD"] = self.netD.init(keys[1], dummy, train=True)
+        if self.netD2 is not None:
+            s = pre["input_tag"].shape[1]
+            dummy = jnp.zeros((2, s, s, opt.d_input_nc()))
+            out["netD2"] = self.netD2.init(keys[2], dummy, train=True)
+        if self.netIG is not None:
+            out["netIG"] = self.netIG.init(keys[4], jnp.zeros((1, 256, 256, 4)))
+        if self.netSIG is not None:
+            out["netSIG"] = self.netSIG.init(keys[5], jnp.zeros((1, 256, 256, 5)))
+        if self.netB is not None:
+            out["netB"] = self.netB.init(
+                keys[6], pre["image_tag"], pre["image_tag"], pre["input_tag"],
+                pre["noise"],
+            )
+        if self.vgg is not None:
+            out["vgg"] = self.vgg.init(keys[7], jnp.zeros((1, 64, 64, 3)))
+        return out
+
+    # ------------------------------------------------------------------
+    # preprocessing (pix2pix_model.py:209-254)
+    # ------------------------------------------------------------------
+
+    def preprocess(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        opt = self.opt
+        nc = opt.label_nc + (1 if opt.contain_dontcare_label else 0)
+        input_ref = one_hot_label(batch["label_ref"], nc)
+        input_tag = one_hot_label(batch["label_tag"], nc)
+        if not opt.no_instance:
+            edges = instance_edges(batch["instance"])
+            input_tag = jnp.concatenate([input_tag, edges], axis=-1)
+        out = dict(batch)
+        out["input_ref"] = input_ref
+        out["input_tag"] = input_tag
+        return out
+
+    # ------------------------------------------------------------------
+    # orientation inpainting (pix2pix_model.py:407-464)
+    # ------------------------------------------------------------------
+
+    def _run_ig(self, net, variables, inp):
+        opt = self.opt
+        if opt.crop_size != 256 or inp.shape[1] != 256:
+            inp = resize_nearest(inp, (256, 256))
+        out = net.apply(variables, inp)
+        if out.shape[1] != opt.crop_size:
+            out = resize_nearest(out, (opt.crop_size, opt.crop_size))
+        return out
+
+    @staticmethod
+    def _decode_orient_rgb(output: jax.Array, mask: jax.Array) -> jax.Array:
+        """RGB [0,1] -> 2ch (sin2t, cos2t)*mask.  The RGB encoding stores
+        cos in R and sin in G (base_dataset.py:363-385), so channels swap."""
+        two = (output[..., :2] - 0.5) * 2.0
+        return jnp.stack([two[..., 1], two[..., 0]], axis=-1) * mask
+
+    def inpaint_orient(self, variables, hole, orient_rgb, noise, mask):
+        """(inpainted_rgb, 2ch orient) — pix2pix_model.py:407-429."""
+        comp = orient_rgb * (1 - hole) + noise * hole
+        inp = jnp.concatenate([comp, hole], axis=-1)
+        output = self._run_ig(self.netIG, variables["netIG"], inp)
+        output = output * hole + orient_rgb * (1 - hole)
+        return output, self._decode_orient_rgb(output, mask)
+
+    def inpaint_stroke_orient(
+        self, variables, hole, orient_rgb, noise, mask, stroke, stroke_mask,
+        mask_orient_rgb,
+    ):
+        """SIG path with the conditional two-stage inpaint
+        (pix2pix_model.py:431-464), expressed as lax.cond so it stays
+        jittable."""
+
+        def two_stage(_):
+            rgb1, _o = self.inpaint_orient(
+                variables, mask - mask_orient_rgb, orient_rgb, noise, mask
+            )
+            return rgb1
+
+        def one_stage(_):
+            return orient_rgb
+
+        need_prefill = jnp.max(mask - mask_orient_rgb) != 0
+        orient_rgb_1 = jax.lax.cond(need_prefill, two_stage, one_stage, None)
+
+        comp = (
+            orient_rgb_1 * (1 - hole)
+            + noise * (hole - stroke_mask)
+            + stroke * stroke_mask
+        )
+        inp = jnp.concatenate([comp, hole, stroke_mask], axis=-1)
+        output = self._run_ig(self.netSIG, variables["netSIG"], inp)
+        output = output * hole + orient_rgb_1 * (1 - hole)
+        return output, self._decode_orient_rgb(output, mask)
+
+    # ------------------------------------------------------------------
+    # generation (pix2pix_model.py:495-541)
+    # ------------------------------------------------------------------
+
+    def _zeros_pad(self, x: jax.Array) -> jax.Array:
+        th = self.opt.add_th
+        r = th // 2
+        return jnp.pad(x, ((0, 0), (r, th - r), (r, th - r), (0, 0)))
+
+    def _padded_gen_inputs(self, pre, orient) -> Dict[str, jax.Array]:
+        opt = self.opt
+        gin = {
+            "input_ref": pre["input_ref"],
+            "input_tag": pre["input_tag"],
+            "orient": orient,
+            "image_ref": pre["image_ref"],
+            "image_tag": pre["image_tag"],
+            "noise": pre["noise"],
+        }
+        if opt.add_feat_zeros:
+            gin = {k: self._zeros_pad(v) for k, v in gin.items()}
+        return gin
+
+    def encode_z(self, variables, image, rng):
+        mu, logvar = self.netE.apply(variables["netE"], image)
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(rng, std.shape)
+        return eps * std + mu, mu, logvar
+
+    def generate_fake(
+        self, variables, pre, orient, rng=None, train=False, mutable=False,
+        extra_dilate_steps=None,
+    ):
+        """Returns (fake_image, kld_loss, blend_image, netG state updates)."""
+        opt = self.opt
+        z, kld = None, None
+        if opt.use_vae:
+            z, mu, logvar = self.encode_z(variables, pre["image_ref"], rng)
+            kld = L.kld_loss(mu, logvar) * opt.lambda_kld
+
+        gin = self._padded_gen_inputs(pre, orient)
+        updates = {}
+        fake_image = None
+        if not opt.only_blend:
+            if mutable:
+                fake_image, updates = self.netG.apply(
+                    variables["netG"],
+                    gin["input_ref"], gin["input_tag"], gin["orient"],
+                    gin["image_ref"], gin["image_tag"], gin["noise"], z=z,
+                    train=train, extra_dilate_steps=extra_dilate_steps,
+                    mutable=["batch_stats", "spectral"],
+                )
+            else:
+                fake_image = self.netG.apply(
+                    variables["netG"],
+                    gin["input_ref"], gin["input_tag"], gin["orient"],
+                    gin["image_ref"], gin["image_tag"], gin["noise"], z=z,
+                    train=train, extra_dilate_steps=extra_dilate_steps,
+                )
+
+        blend_image = None
+        if opt.use_blender:
+            src = pre["image_ref"] if opt.only_blend else fake_image
+            blend_image = self.netB.apply(
+                variables["netB"], src, pre["image_tag"], pre["input_tag"],
+                pre["noise"], train=train,
+            )
+        return fake_image, kld, blend_image, updates
+
+    # ------------------------------------------------------------------
+    # discrimination (pix2pix_model.py:546-594)
+    # ------------------------------------------------------------------
+
+    def _orient_input(self, orient, input_tag):
+        if not self.opt.use_ig:
+            return orient_to_two_channel(orient, input_tag[..., 1:2])
+        return orient
+
+    def discriminate(self, variables, input_tag, fake_image, real_image, orient,
+                     train=False):
+        """Fake+real in ONE batch for consistent norm statistics
+        (pix2pix_model.py:562-574), then split."""
+        opt = self.opt
+        orient_input = self._orient_input(orient, input_tag)
+        fake_concat = jnp.concatenate([input_tag, orient_input, fake_image], axis=-1)
+        real_concat = jnp.concatenate([input_tag, orient_input, real_image], axis=-1)
+        fake_and_real = jnp.concatenate([fake_concat, real_concat], axis=0)
+
+        net = self.netD
+        dvars = variables["netD"]
+        if opt.unpairTrain and opt.curr_step == 2:
+            net = self.netD2
+            dvars = variables["netD2"]
+        out = net.apply(dvars, fake_and_real, train=train)
+
+        n = fake_concat.shape[0]
+        pred_fake = [[t[:n] for t in scale] for scale in out]
+        pred_real = [[t[n:] for t in scale] for scale in out]
+        return pred_fake, pred_real
+
+    # ------------------------------------------------------------------
+    # losses (pix2pix_model.py:257-398)
+    # ------------------------------------------------------------------
+
+    def _orient_for_training(self, variables, pre):
+        """IG inpainting under stop-gradient (pix2pix_model.py:260-265)."""
+        opt = self.opt
+        if opt.use_ig:
+            hair_mask = pre["input_tag"][..., 1:2]
+            _, orient = self.inpaint_orient(
+                variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair_mask
+            )
+            return jax.lax.stop_gradient(orient)
+        return pre["orient"]
+
+    def generator_loss(
+        self, variables, batch, rng, ab_count=None, extra_dilate_steps=None,
+    ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], jax.Array, Dict]]:
+        """Total G loss + (loss dict, fake image, mutable-state updates)."""
+        opt = self.opt
+        assert opt.isTrain
+        pre = self.preprocess(batch)
+        losses: Dict[str, jax.Array] = {}
+
+        orient = self._orient_for_training(variables, pre)
+        fake, kld, blend, updates = self.generate_fake(
+            variables, pre, orient, rng=rng, train=True, mutable=True,
+            extra_dilate_steps=extra_dilate_steps,
+        )
+        if opt.use_vae:
+            losses["KLD"] = kld
+        out_img = blend if opt.use_blender else fake
+
+        pred_fake, pred_real = self.discriminate(
+            variables, pre["input_tag"], out_img, pre["image_tag"], orient,
+            train=True,
+        )
+        label_tag = pre["input_tag"][..., 1:2]
+        label_ref = pre["input_ref"][..., 1:2]
+
+        if not opt.no_gan_loss:
+            losses["GAN"] = L.multiscale_gan_loss(
+                pred_fake, True, False, opt, label_tag
+            )
+
+        # paired-data gate (pix2pix_model.py:286-291): as a traced indicator
+        ref_is_tag = (
+            jnp.sum(jnp.abs(label_tag - label_ref)) == 0
+        ).astype(jnp.float32)
+
+        vgg_apply = lambda x: self.vgg.apply(variables["vgg"], x)
+
+        if opt.curr_step == 1:
+            if not opt.no_ganFeat_loss:
+                losses["GAN_Feat"] = ref_is_tag * L.gan_feat_loss(
+                    pred_fake, pred_real, opt, label_tag
+                )
+            if not opt.no_vgg_loss:
+                losses["VGG"] = ref_is_tag * (
+                    L.vgg_loss(vgg_apply, out_img, pre["image_tag"], opt, label_tag)
+                    * opt.lambda_vgg
+                )
+            loss_c, loss_s = L.style_content_loss(
+                vgg_apply, out_img, pre["image_ref"], pre["image_tag"], opt,
+                label_ref, label_tag,
+            )
+            if not opt.no_content_loss:
+                losses["content"] = loss_c * opt.lambda_content
+            if not opt.no_style_loss:
+                losses["style"] = loss_s * opt.lambda_style
+            if not opt.no_background_loss:
+                losses["background"] = ref_is_tag * (
+                    L.rgb_background_l1_loss(out_img, pre["input_tag"], pre["image_tag"])
+                    * opt.lambda_background
+                )
+            if not opt.no_rgb_loss:
+                losses["rgb"] = ref_is_tag * (
+                    jnp.mean(jnp.abs(out_img - jax.lax.stop_gradient(pre["image_tag"])))
+                    * opt.lambda_rgb
+                )
+            if not opt.no_lab_loss:
+                losses["lab"] = ref_is_tag * (
+                    L.lab_color_loss(out_img, pre["image_tag"], opt, label_tag, ab_count)
+                    * opt.lambda_lab
+                )
+
+        if not opt.no_orient_loss:
+            o_l1, conf = L.orient_loss(out_img, orient, pre["input_tag"], opt)
+            losses["ORIENT"] = o_l1 * opt.lambda_orient
+            if not opt.no_confidence_loss:
+                losses["CONFIDENCE"] = conf * opt.lambda_confidence
+
+        if opt.unpairTrain and opt.curr_step == 2:
+            if opt.use_blender:
+                losses["hairAvgLab"] = L.hair_avg_lab_loss(
+                    blend, jax.lax.stop_gradient(fake), label_tag, label_tag, opt,
+                    ab_count,
+                ) * opt.lambda_hairavglab
+            else:
+                losses["hairAvgLab"] = L.hair_avg_lab_loss(
+                    fake, pre["image_ref"], label_tag, label_ref, opt, ab_count
+                ) * opt.lambda_hairavglab
+            losses["background"] = (
+                L.rgb_background_l1_loss(out_img, pre["input_tag"], pre["image_tag"])
+                * opt.lambda_background
+            )
+
+        total = sum(losses.values())
+        return total, (losses, fake, updates)
+
+    def discriminator_loss(
+        self, variables, batch, rng, extra_dilate_steps=None
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        opt = self.opt
+        pre = self.preprocess(batch)
+        orient = self._orient_for_training(variables, pre)
+        fake, _, blend, _ = self.generate_fake(
+            variables, pre, orient, rng=rng, train=True, mutable=False,
+            extra_dilate_steps=extra_dilate_steps,
+        )
+        out_img = blend if opt.use_blender else fake
+        out_img = jax.lax.stop_gradient(out_img)
+
+        pred_fake, pred_real = self.discriminate(
+            variables, pre["input_tag"], out_img, pre["image_tag"], orient,
+            train=True,
+        )
+        label_tag = pre["input_tag"][..., 1:2]
+        d_fake = L.multiscale_gan_loss(pred_fake, False, True, opt, label_tag)
+        d_real = L.multiscale_gan_loss(pred_real, True, True, opt, label_tag)
+        losses = {"D_Fake": d_fake, "D_real": d_real}
+        return d_fake + d_real, losses
+
+    # ------------------------------------------------------------------
+    # inference (pix2pix_model.py:80-120)
+    # ------------------------------------------------------------------
+
+    def infer(self, variables, batch, rng=None):
+        """mode='inference': returns (fake or blend, inpainted orient rgb)."""
+        opt = self.opt
+        pre = self.preprocess(batch)
+        orient_rgb_out = None
+        if opt.use_ig and "stroke" not in opt.inpaint_mode:
+            hair_mask = pre["input_tag"][..., 1:2]
+            orient_rgb_out, orient = self.inpaint_orient(
+                variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair_mask
+            )
+        elif opt.use_ig and "stroke" in opt.inpaint_mode:
+            hair_mask = pre["input_tag"][..., 1:2]
+            orient_rgb_out, orient = self.inpaint_stroke_orient(
+                variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair_mask,
+                pre["orient_stroke"], pre["mask_stroke"], pre["orient_rgb_mask"],
+            )
+        else:
+            orient = pre["orient"]
+
+        z = None
+        if opt.use_vae:
+            z, _, _ = self.encode_z(variables, pre["image_ref"], rng)
+
+        fake, _, blend, _ = self.generate_fake(variables, pre, orient, rng=rng)
+        out = blend if opt.use_blender else fake
+        return out, orient_rgb_out

@@ -24,16 +24,16 @@ INPAINTERS = {"inpaint": InpaintGenerator, "sinpaint": SInpaintGenerator}
 BLENDERS = {"blend2": Blend2Generator}
 
 
-def define_G(opt):
-    return GENERATORS[opt.netG](opt=opt)
+def define_G(opt, axis_name=None):
+    return GENERATORS[opt.netG](opt=opt, axis_name=axis_name)
 
 
-def define_D(opt):
-    return DISCRIMINATORS[opt.netD](opt=opt)
+def define_D(opt, axis_name=None):
+    return DISCRIMINATORS[opt.netD](opt=opt, axis_name=axis_name)
 
 
-def define_E(opt):
-    return ConvEncoder(opt=opt)
+def define_E(opt, axis_name=None):
+    return ConvEncoder(opt=opt, axis_name=axis_name)
 
 
 def define_IG(opt):

@@ -85,7 +85,8 @@ class SPADEBGenerator(nn.Module):
                     image_ref, input_ref[..., 1:2], input_tag[..., 1:2], train=train
                 )
         else:
-            x = resize_bilinear(image_ref, (sh, sw))
+            # F.interpolate default mode is nearest (generator.py:126)
+            x = resize_nearest(image_ref, (sh, sw))
             x = TorchConv(16 * nf, 3, padding=1, name="fc")(x, train)
 
         # ---- conditioning map (generator.py:129-142) ----

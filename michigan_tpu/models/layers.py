@@ -219,10 +219,11 @@ class PartialConv(nn.Module):
         mask_ratio = mask_ratio.astype(raw.dtype)
         update_mask_c = update_mask.astype(raw.dtype)
         if self.use_bias:
+            # torch computes (conv_with_bias - b) * ratio + b; our conv is
+            # biasless so that is conv * ratio + b, gated by the mask.
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             b = bias.astype(raw.dtype).reshape(1, 1, 1, -1)
-            out = (raw - b) * mask_ratio + b
-            out = out * update_mask_c
+            out = (raw * mask_ratio + b) * update_mask_c
         else:
             out = raw * mask_ratio
         return out, update_mask

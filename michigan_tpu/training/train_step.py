@@ -1,0 +1,142 @@
+"""Sharded G/D train steps.
+
+The reference alternates `run_generator_one_step` / `run_discriminator_one_step`
+under DataParallel (pix2pix_trainer.py:39-77).  Here each step is one
+`shard_map`-wrapped pure function over the data mesh axis: batch sharded on N,
+state replicated, gradients averaged with a single `psum`, BN statistics
+psum'd inside the forward (ops/norms.batch_stats), optimizer update applied
+identically on every shard.  Buffers are donated so params update in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from michigan_tpu.model import MichiGANModel
+from michigan_tpu.parallel.mesh import DATA_AXIS
+from michigan_tpu.training.state import (
+    TrainState,
+    d_net_names,
+    g_net_names,
+    make_optimizers,
+)
+
+
+def _merge_params(variables, part_params):
+    out = dict(variables)
+    for name, p in part_params.items():
+        net = dict(out[name])
+        net["params"] = p
+        out[name] = net
+    return out
+
+
+def _merge_updates(variables, net_name, updates):
+    """Fold mutable-collection updates (batch_stats/spectral) back in."""
+    out = dict(variables)
+    net = dict(out[net_name])
+    for coll, tree in updates.items():
+        net[coll] = tree
+    out[net_name] = net
+    return out
+
+
+def make_train_steps(opt, mesh=None, ab_count=None):
+    """Builds the model (with the mesh's axis name threaded into the
+    syncbatch-norm modules) and returns (model, g_step, d_step):
+      g_step(state, batch, rng, extra_dilate) -> (state, losses, fake)
+      d_step(state, batch, rng, extra_dilate) -> (state, losses)
+    """
+    axis = DATA_AXIS if mesh is not None else None
+    model = MichiGANModel(opt, axis_name=axis)
+    opt_g_tx, opt_d_tx = make_optimizers(opt)
+    g_names = g_net_names(opt)
+
+    def g_step_local(state: TrainState, batch, rng, extra_dilate):
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(g_params):
+            variables = _merge_params(state.variables, g_params)
+            total, (losses, fake, updates) = model.generator_loss(
+                variables, batch, rng, ab_count=ab_count,
+                extra_dilate_steps=extra_dilate,
+            )
+            return total, (losses, fake, updates)
+
+        g_params = {n: state.variables[n]["params"] for n in g_names}
+        (total, (losses, fake, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+
+        upd, new_opt_state = opt_g_tx.update(grads, state.opt_g_state, g_params)
+        new_params = optax.apply_updates(g_params, upd)
+        variables = _merge_params(state.variables, new_params)
+        variables = _merge_updates(variables, "netG", updates)
+        state = state.replace(
+            variables=variables, opt_g_state=new_opt_state, step=state.step + 1
+        )
+        return state, losses, fake
+
+    def d_step_local(state: TrainState, batch, rng, extra_dilate):
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        d_name = "netD2" if (opt.unpairTrain and opt.curr_step == 2) else "netD"
+
+        def loss_fn(d_params):
+            variables = _merge_params(state.variables, d_params)
+            total, losses = model.discriminator_loss(
+                variables, batch, rng, extra_dilate_steps=extra_dilate
+            )
+            return total, losses
+
+        d_params = {d_name: state.variables[d_name]["params"]}
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+
+        opt_state = (
+            state.opt_d2_state if d_name == "netD2" else state.opt_d_state
+        )
+        upd, new_opt_state = opt_d_tx.update(grads, opt_state, d_params)
+        new_params = optax.apply_updates(d_params, upd)
+        variables = _merge_params(state.variables, new_params)
+        if d_name == "netD2":
+            state = state.replace(variables=variables, opt_d2_state=new_opt_state)
+        else:
+            state = state.replace(variables=variables, opt_d_state=new_opt_state)
+        return state, losses
+
+    if mesh is None:
+        g_step = jax.jit(g_step_local, donate_argnums=(0,) if opt.donate_buffers else ())
+        d_step = jax.jit(d_step_local, donate_argnums=(0,) if opt.donate_buffers else ())
+        return model, g_step, d_step
+
+    batch_spec = P(DATA_AXIS)
+    rep = P()
+    g_sharded = shard_map(
+        g_step_local, mesh=mesh,
+        in_specs=(rep, batch_spec, rep, rep),
+        out_specs=(rep, rep, batch_spec),
+        check_rep=False,
+    )
+    d_sharded = shard_map(
+        d_step_local, mesh=mesh,
+        in_specs=(rep, batch_spec, rep, rep),
+        out_specs=(rep, rep),
+        check_rep=False,
+    )
+    g_step = jax.jit(g_sharded, donate_argnums=(0,) if opt.donate_buffers else ())
+    d_step = jax.jit(d_sharded, donate_argnums=(0,) if opt.donate_buffers else ())
+    return model, g_step, d_step

@@ -1,14 +1,27 @@
 """Test harness: force CPU with 8 virtual devices so multi-chip sharding
-logic is exercised without TPU hardware (SURVEY.md §4 test strategy)."""
+logic is exercised without TPU hardware (SURVEY.md §4 test strategy).
+
+The image's sitecustomize pre-imports jax with JAX_PLATFORMS=axon (a remote
+TPU relay); we override the platform via jax.config before any computation so
+tests are deterministic fp32 CPU and never block on the tunnel.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax already (env var then has no effect);
+# the config flag wins as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -17,12 +30,3 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
-
-
-def torch_available():
-    try:
-        import torch  # noqa: F401
-
-        return True
-    except Exception:
-        return False
