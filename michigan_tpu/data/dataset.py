@@ -1,0 +1,207 @@
+"""Training dataset + threaded prefetching loader.
+
+Replaces the reference's torch DataLoader over CustomDataset
+(data/__init__.py:41-58, custom_dataset.py, pix2pix_dataset.py) with a
+numpy-native dataset and a double-buffered thread-pool prefetcher — TPU
+training wants the host assembling the next batch while the device runs.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from michigan_tpu.data.preprocess import generate_hole, trans_orient_to_rgb
+from michigan_tpu.data.transforms import get_params, get_transform
+from michigan_tpu.ops.noise import generate_noise
+
+IMG_EXTENSIONS = (
+    ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm", ".PPM",
+    ".bmp", ".BMP", ".tiff", ".webp",
+)
+
+
+def list_images(directory: str, recursive: bool = False) -> List[str]:
+    """image_folder.py:36-64 equivalent (without the files.list cache)."""
+    out = []
+    if recursive:
+        for root, _, files in os.walk(directory):
+            out += [os.path.join(root, f) for f in files if f.endswith(IMG_EXTENSIONS)]
+    else:
+        out = [
+            os.path.join(directory, f)
+            for f in sorted(os.listdir(directory))
+            if f.endswith(IMG_EXTENSIONS)
+        ]
+    return sorted(out)
+
+
+class CustomDataset:
+    """FFHQ directory layout (custom_dataset.py:43-70):
+    {data_dir}/{clear}{phase}_labels|_images|_dense_orients."""
+
+    def __init__(self, opt, step: int = 1):
+        self.opt = opt
+        self.step = step
+        phase = "train" if opt.isTrain else opt.subset
+        clear = "clear_" if opt.clear else ""
+        base = opt.data_dir
+        self.label_paths = list_images(
+            opt.label_dir or os.path.join(base, f"{clear}{phase}_labels")
+        )[: opt.max_dataset_size]
+        self.image_paths = list_images(
+            opt.image_dir or os.path.join(base, f"{clear}{phase}_images")
+        )[: opt.max_dataset_size]
+        self.orient_paths = list_images(
+            opt.orient_dir or os.path.join(base, f"{clear}{phase}_dense_orients")
+        )[: opt.max_dataset_size]
+        if not opt.no_pairing_check:
+            for lp, ip in zip(self.label_paths, self.image_paths):
+                n1 = os.path.splitext(os.path.basename(lp))[0]
+                n2 = os.path.splitext(os.path.basename(ip))[0]
+                assert n1 == n2, f"label/image pairing mismatch: {lp} vs {ip}"
+
+    def __len__(self) -> int:
+        return len(self.label_paths)
+
+    def get_sample(self, index: int, rng: random.Random) -> Dict[str, np.ndarray]:
+        """pix2pix_dataset.py:66-194 semantics, NHWC numpy (no batch dim).
+
+        The reference's orient-randomization branch is dead code (its
+        threshold of 2 always exceeds random.random(); SURVEY §2.3) — only
+        the live branch is implemented.
+        """
+        opt = self.opt
+        label = Image.open(self.label_paths[index])
+        params = get_params(opt, label.size, rng)
+        tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
+        label_t = tl(label) * 255.0
+        label_t[label_t == 255] = opt.label_nc
+
+        index_ref = index if self.step == 1 else rng.randint(0, len(self) - 1)
+        label_ref = Image.open(self.label_paths[index_ref])
+        label_ref_t = tl(label_ref) * 255.0
+        label_ref_t[label_ref_t == 255] = opt.label_nc
+
+        ti = get_transform(opt, params)
+        image_t = ti(Image.open(self.image_paths[index]).convert("RGB"))
+        ti_ref = (
+            get_transform(opt, params, color=True) if opt.color_jitter else ti
+        )
+        image_ref_t = ti_ref(Image.open(self.image_paths[index_ref]).convert("RGB"))
+
+        orient = Image.open(self.orient_paths[index])
+        orient_t = tl(orient) * 255.0
+
+        # rgb orient from the sample's own orient + label (live branch,
+        # pix2pix_dataset.py:131-134)
+        if opt.use_ig and not opt.no_orientation:
+            rgb = trans_orient_to_rgb(np.array(orient), np.array(label))
+            orient_rgb_t = tl(rgb) * label_t
+        else:
+            orient_rgb_t = np.zeros_like(image_t)
+
+        if opt.use_ig:
+            idx_o = rng.randint(0, len(self) - 1)
+            orient_mask = np.array(Image.open(self.label_paths[idx_o]))
+            hole = generate_hole(np.array(label), orient_mask, rng)
+            hole_t = tl(hole) * 255.0
+        else:
+            hole_t = np.zeros_like(label_t)
+
+        noise = generate_noise(
+            opt.crop_size, opt.crop_size,
+            np.random.default_rng(rng.getrandbits(32)),
+        ).astype(np.float32)
+
+        return {
+            "label_tag": label_t.astype(np.float32),
+            "label_ref": label_ref_t.astype(np.float32),
+            "image_tag": image_t.astype(np.float32),
+            "image_ref": image_ref_t.astype(np.float32),
+            "orient": orient_t.astype(np.float32),
+            "hole": hole_t.astype(np.float32),
+            "orient_rgb": orient_rgb_t.astype(np.float32),
+            "noise": noise,
+        }
+
+
+class PrefetchLoader:
+    """Thread-pool batch assembler with a bounded queue (double buffering)."""
+
+    def __init__(self, dataset: CustomDataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, num_workers: int = 2, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        out = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            out = [b for b in out if len(b) == self.batch_size]
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for bi, batch_idx in enumerate(batches):
+                if stop.is_set():
+                    return
+                rng = random.Random((self.seed, self.epoch, bi).__hash__())
+                samples = [self.dataset.get_sample(i, rng) for i in batch_idx]
+                stacked = {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]
+                }
+                q.put(stacked)
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1
+
+
+def create_dataloader(opt, step: int = 1) -> PrefetchLoader:
+    """data/__init__.py:41-58 equivalent."""
+    ds = CustomDataset(opt, step)
+    return PrefetchLoader(
+        ds,
+        batch_size=opt.batchSize,
+        shuffle=not opt.serial_batches,
+        drop_last=opt.isTrain,
+        num_workers=opt.nThreads,
+        seed=opt.seed,
+    )

@@ -1,0 +1,101 @@
+"""Image preprocessing matching the reference's torchvision pipeline
+(base_dataset.py:398-505): scale/crop/flip on PIL images, then to
+float NHWC; images normalized to [-1,1], labels left in [0,1].
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+@dataclass
+class TransformSpec:
+    crop_pos: Tuple[int, int]
+    flip: bool
+
+
+def get_params(opt, size: Tuple[int, int], rng: Optional[random.Random] = None) -> TransformSpec:
+    """Random crop position + flip decision (base_dataset.py:398-417)."""
+    r = rng or random
+    w, h = size
+    new_w, new_h = w, h
+    if opt.preprocess_mode == "resize_and_crop":
+        new_h = new_w = opt.load_size
+    elif opt.preprocess_mode == "scale_width_and_crop":
+        new_w = opt.load_size
+        new_h = opt.load_size * h // w
+    elif opt.preprocess_mode == "scale_shortside_and_crop":
+        ss, ls = min(w, h), max(w, h)
+        ls = int(opt.load_size * ls / ss)
+        new_w, new_h = (ss, ls) if w == ss else (ls, ss)
+    x = r.randint(0, max(0, new_w - opt.crop_size))
+    y = r.randint(0, max(0, new_h - opt.crop_size))
+    flip = r.random() > 0.5
+    return TransformSpec((x, y), flip)
+
+
+def _scale_width(img: Image.Image, target: int, method) -> Image.Image:
+    ow, oh = img.size
+    if ow == target:
+        return img
+    return img.resize((target, int(target * oh / ow)), method)
+
+
+def _scale_shortside(img: Image.Image, target: int, method) -> Image.Image:
+    ow, oh = img.size
+    ss, ls = min(ow, oh), max(ow, oh)
+    if ss == target:
+        return img
+    ls = int(target * ls / ss)
+    nw, nh = (ss, ls) if ow == ss else (ls, ss)
+    return img.resize((nw, nh), method)
+
+
+def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
+                  normalize: bool = True, color: bool = False):
+    """Returns PIL -> (H,W,C) float32 ndarray closure (base_dataset.py:420-454).
+
+    Color jitter is approximated with PIL enhancers (torchvision's jitter is
+    random anyway; exact RNG parity is impossible across frameworks)."""
+
+    def apply(img: Image.Image) -> np.ndarray:
+        x = img
+        if "resize" in opt.preprocess_mode:
+            x = x.resize((opt.load_size, opt.load_size), method)
+        elif "scale_width" in opt.preprocess_mode:
+            x = _scale_width(x, opt.load_size, method)
+        elif "scale_shortside" in opt.preprocess_mode:
+            x = _scale_shortside(x, opt.load_size, method)
+        if "crop" in opt.preprocess_mode:
+            cx, cy = params.crop_pos
+            x = x.crop((cx, cy, cx + opt.crop_size, cy + opt.crop_size))
+        if opt.preprocess_mode == "none":
+            ow, oh = x.size
+            nw, nh = int(round(ow / 32) * 32), int(round(oh / 32) * 32)
+            if (nw, nh) != (ow, oh):
+                x = x.resize((nw, nh), method)
+        if opt.preprocess_mode == "fixed":
+            w = opt.crop_size
+            h = round(opt.crop_size / opt.aspect_ratio)
+            x = x.resize((w, h), method)
+        if opt.isTrain and not opt.no_flip and params.flip:
+            x = x.transpose(Image.FLIP_LEFT_RIGHT)
+        if color:
+            from PIL import ImageEnhance
+
+            x = ImageEnhance.Brightness(x).enhance(1.0 + random.uniform(-0.1, 0.1))
+
+        arr = np.asarray(x, dtype=np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        arr = arr / 255.0  # torchvision ToTensor
+        if normalize:
+            arr = (arr - 0.5) / 0.5
+        return arr
+
+    return apply
