@@ -1,0 +1,92 @@
+"""Headline benchmark: 512^2 batched inference throughput per chip.
+
+Runs the flagship configuration (BASELINE.json batched-inference config:
+spadeb generator + partialconv appearance encoder + IG orientation
+inpainting + noise background) on whatever jax.devices()[0] is — the real
+TPU chip under the driver.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against a self-recorded prior value in BENCH_BASELINE.json when present,
+else null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.config import Options
+    from michigan_tpu.model import MichiGANModel
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    opt = Options(
+        isTrain=False, phase="test", batchSize=batch_size,
+        crop_size=512, load_size=512, netG="spadeb", use_encoder=True,
+        use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
+        num_upsampling_layers="more",
+    ).finalize()
+    model = MichiGANModel(opt)
+
+    rng_np = np.random.default_rng(0)
+    s = opt.crop_size
+    n = batch_size
+    batch = {
+        "label_ref": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "label_tag": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "image_ref": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "image_tag": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "orient": jnp.asarray(rng_np.uniform(0, 255, (n, s, s, 1)), jnp.float32),
+        "hole": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "orient_rgb": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+        "noise": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    # jit the init too: eager init is hundreds of tiny dispatches, which is
+    # pathological through the remote-TPU relay
+    variables = jax.jit(model.init_variables)(key, batch)
+
+    @jax.jit
+    def infer_sum(variables, batch):
+        out, _ = model.infer(variables, batch)
+        # reduce on device; fetching the scalar below forces completion —
+        # through the axon relay block_until_ready does NOT actually block,
+        # so a value fetch is the only honest synchronization
+        return jnp.sum(out)
+
+    float(infer_sum(variables, batch))  # compile + warmup
+
+    t0 = time.perf_counter()
+    vals = [infer_sum(variables, batch) for _ in range(iters)]
+    float(vals[-1])  # same-stream ordering: last done => all done
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * iters / dt
+    vs = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            base = json.load(open("BENCH_BASELINE.json"))["value"]
+            vs = imgs_per_sec / base
+        except Exception:
+            vs = None
+    print(json.dumps({
+        "metric": "512px_batched_inference_throughput_bs%d" % batch_size,
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

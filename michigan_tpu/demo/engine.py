@@ -1,0 +1,147 @@
+"""Interactive-editing engine — the compute core behind the reference's
+PyQt5 demo (demo.py:42-518), UI-independent so it can serve both the Qt
+shell and headless/scripted use.
+
+Covers the edit() pipeline (demo.py:310-413): rasterized mask/stroke edits ->
+hole dilation -> stroke->orientation conversion (ui_util/cal_orient_stroke.py)
+-> demo_inference forward (ref- or stroke-mode inpainting) -> composited
+result.  The heavy path is one pre-compiled jit function; repeated edits
+reuse the compiled executable (the <100 ms interactive target).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+
+def stroke_to_orient(stroke_mask: np.ndarray) -> np.ndarray:
+    """Binary stroke mask (H,W in {0,1}) -> RGB orientation image [0,255]
+    (ui_util/cal_orient_stroke.py:133-150): run the DoG bank on the mask
+    itself, argmax the angle, RGB-encode with -1 outside the stroke."""
+    import jax.numpy as jnp
+
+    from michigan_tpu.ops.filters import dense_orientation, NUM_KERNELS
+
+    m = stroke_mask.astype(np.float32)
+    idx, _conf = dense_orientation(jnp.asarray(m[None, ..., None]), mode="dog")
+    theta = np.asarray(idx)[0, ..., 0] * math.pi / NUM_KERNELS
+    sin2, cos2 = np.sin(2 * theta) * m, np.cos(2 * theta) * m
+    out_r = cos2 * m + (1 - m) * -1.0
+    out_g = sin2 * m + (1 - m) * -1.0
+    out_b = (1 - m) * -1.0
+    rgb = np.stack([out_r, out_g, out_b], axis=-1)
+    return (rgb + 1.0) / 2.0 * 255.0
+
+
+def dilate_hole(stroke_mask: np.ndarray, k: int = 50) -> np.ndarray:
+    """Hole = dilated stroke (demo.py:323-324, 50x50 ellipse)."""
+    import cv2
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+    return cv2.dilate(stroke_mask.astype(np.uint8), kernel)
+
+
+class DemoEngine:
+    """Holds config + model + variables + the compiled inference fn."""
+
+    def __init__(self, opt, variables=None, rng_seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from michigan_tpu.model import MichiGANModel
+        from michigan_tpu.training import checkpoint as CK
+
+        self.opt = opt
+        self.model = MichiGANModel(opt)
+        self._jnp = jnp
+        self._jax = jax
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._compiled: Dict[str, object] = {}
+        if variables is None:
+            dummy = self._dummy_batch()
+            variables = self.model.init_variables(self._rng, dummy)
+            restored = CK.load_variables(opt, opt.which_epoch)
+            if restored is not None:
+                variables = restored
+            variables = CK.load_pretrained_torch(opt, variables)
+        self.variables = variables
+
+    def _dummy_batch(self):
+        jnp = self._jnp
+        s = self.opt.crop_size
+        z = lambda c: jnp.zeros((1, s, s, c), jnp.float32)
+        batch = {
+            "label_ref": z(1), "label_tag": z(1), "image_ref": z(3),
+            "image_tag": z(3), "orient": z(1), "hole": z(1),
+            "orient_rgb": z(3), "noise": z(3),
+        }
+        if "stroke" in self.opt.inpaint_mode or self.opt.use_stroke:
+            batch.update(
+                orient_stroke=z(3), mask_stroke=z(1), orient_rgb_mask=z(1)
+            )
+        return batch
+
+    def _get_infer(self, mode: str):
+        if mode not in self._compiled:
+            jax = self._jax
+            opt = self.opt
+
+            def fn(variables, batch):
+                old = opt.inpaint_mode
+                opt.inpaint_mode = mode  # static under trace
+                try:
+                    out, orient_rgb = self.model.infer(variables, batch)
+                finally:
+                    opt.inpaint_mode = old
+                return out, orient_rgb
+
+            self._compiled[mode] = jax.jit(fn)
+        return self._compiled[mode]
+
+    def edit(
+        self,
+        ref_label_path: str,
+        tag_label: np.ndarray,
+        mask_orient: np.ndarray,
+        ref_orient: np.ndarray,
+        ref_image: Image.Image,
+        tag_image: Image.Image,
+        orient_stroke: Optional[np.ndarray] = None,
+        mask_stroke: Optional[np.ndarray] = None,
+        mask_hole: Optional[np.ndarray] = None,
+        inpaint_mode: str = "ref",
+    ):
+        """One interactive edit; returns (result uint8 HxWx3, orient rgb,
+        latency seconds) like the demo's timing print (demo.py:363-366)."""
+        from michigan_tpu.data.single import demo_inference_data
+        from michigan_tpu.utils.imaging import crop_feat_pad, tensor2im
+
+        jnp = self._jnp
+        data = demo_inference_data(
+            self.opt, ref_label_path, tag_label, mask_orient, ref_orient,
+            ref_image, tag_image, orient_stroke, mask_stroke, mask_hole,
+        )
+        batch = {
+            k: jnp.asarray(v) for k, v in data.items()
+            if isinstance(v, np.ndarray) and v.ndim >= 3
+        }
+        infer = self._get_infer(inpaint_mode)
+        t0 = time.time()
+        out, orient_rgb = infer(self.variables, batch)
+        out = np.asarray(out)
+        latency = time.time() - t0
+        print(f"inference time: {latency:.3f}s")
+
+        img = tensor2im(out[0])
+        if self.opt.add_feat_zeros:
+            img = crop_feat_pad(img, self.opt.crop_size, self.opt.add_th)
+        orient_out = None
+        if orient_rgb is not None:
+            orient_out = np.uint8(np.asarray(orient_rgb)[0] * 255)
+        return img, orient_out, latency

@@ -71,19 +71,22 @@ class MichiGANModel:
             out["netE"] = self.netE.init(keys[3], pre["image_ref"])
             z = jnp.zeros((pre["image_ref"].shape[0], opt.z_dim))
 
+        # init always traces train=False: every variable (params, running
+        # stats, spectral u/v) is created either way, and the eval path has
+        # no psum — init can run outside shard_map even on a meshed model
         gin = self._padded_gen_inputs(pre, orient_for_g)
         out["netG"] = self.netG.init(
             keys[0], gin["input_ref"], gin["input_tag"], gin["orient"],
-            gin["image_ref"], gin["image_tag"], gin["noise"], z=z, train=opt.isTrain,
+            gin["image_ref"], gin["image_tag"], gin["noise"], z=z, train=False,
         )
         if self.netD is not None:
             s = pre["input_tag"].shape[1]
             dummy = jnp.zeros((2, s, s, opt.d_input_nc()))
-            out["netD"] = self.netD.init(keys[1], dummy, train=True)
+            out["netD"] = self.netD.init(keys[1], dummy, train=False)
         if self.netD2 is not None:
             s = pre["input_tag"].shape[1]
             dummy = jnp.zeros((2, s, s, opt.d_input_nc()))
-            out["netD2"] = self.netD2.init(keys[2], dummy, train=True)
+            out["netD2"] = self.netD2.init(keys[2], dummy, train=False)
         if self.netIG is not None:
             out["netIG"] = self.netIG.init(keys[4], jnp.zeros((1, 256, 256, 4)))
         if self.netSIG is not None:

@@ -98,7 +98,14 @@ class TorchConv(nn.Module):
             )
             # torch normalizes u/v at init; converted checkpoints are already unit
             sigma, u_new, v_new = spectral_normalize(w_mat, u.value, v.value, update=train)
-            if train and not self.is_initializing():
+            if (
+                train
+                and not self.is_initializing()
+                and self.is_mutable_collection("spectral")
+            ):
+                # persisted once per optimizer step (the D step); torch also
+                # iterates during the G-step forward — the iterated sigma is
+                # still used here, only the write-back is skipped
                 u.value = u_new
                 v.value = v_new
             kernel = kernel / sigma
@@ -173,7 +180,11 @@ class TorchConvTranspose(nn.Module):
                 lambda: jax.random.normal(self.make_rng("params"), (w_mat.shape[1],)),
             )
             sigma, u_new, v_new = spectral_normalize(w_mat, u.value, v.value, update=train)
-            if train and not self.is_initializing():
+            if (
+                train
+                and not self.is_initializing()
+                and self.is_mutable_collection("spectral")
+            ):
                 u.value = u_new
                 v.value = v_new
             kernel = kernel / sigma

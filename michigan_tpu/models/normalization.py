@@ -58,7 +58,9 @@ class ParamFreeNorm(nn.Module):
             y, new_m, new_v = batch_norm_train(
                 x, rm.value, rv.value, self.momentum, self.eps, axis
             )
-            if not self.is_initializing():
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
                 rm.value = new_m
                 rv.value = new_v
             return y

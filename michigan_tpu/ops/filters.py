@@ -32,8 +32,10 @@ def _grid(kernel_size: int):
 
 
 @functools.lru_cache(maxsize=8)
-def gabor_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
-    """(k, k, 1, num) HWIO Gabor bank; theta_i = pi*i/num (loss.py:215-243)."""
+def _gabor_bank_np(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> np.ndarray:
+    """(k, k, 1, num) HWIO Gabor bank; theta_i = pi*i/num (loss.py:215-243).
+
+    Cached as numpy — caching jax arrays across jit traces leaks tracers."""
     x, y = _grid(kernel_size)
     sigma_x, sigma_y, lam, psi = 2.0, 3.0, 4.0, 0.0
     kernels = []
@@ -45,11 +47,15 @@ def gabor_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.nd
             2.0 * math.pi / lam * xt + psi
         )
         kernels.append(gb.astype(np.float32))
-    return jnp.asarray(np.stack(kernels, axis=-1)[:, :, None, :])
+    return np.stack(kernels, axis=-1)[:, :, None, :]
+
+
+def gabor_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
+    return jnp.asarray(_gabor_bank_np(kernel_size, num))
 
 
 @functools.lru_cache(maxsize=8)
-def dog_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
+def _dog_bank_np(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> np.ndarray:
     """(k, k, 1, num) HWIO DoG bank (loss.py:245-271, cal_orientation.py:18-44)."""
     x, y = _grid(kernel_size)
     sigma_h, sigma_l, sigma_y = 1.0, 2.0, 2.0
@@ -63,7 +69,11 @@ def dog_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndar
             - np.exp(-0.5 * (xt**2 / sigma_l**2 + yt**2 / sigma_y**2)) / sigma_l
         ) / (1.0 / sigma_h - 1.0 / sigma_l)
         kernels.append(gb.astype(np.float32))
-    return jnp.asarray(np.stack(kernels, axis=-1)[:, :, None, :])
+    return np.stack(kernels, axis=-1)[:, :, None, :]
+
+
+def dog_bank(kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS) -> jnp.ndarray:
+    return jnp.asarray(_dog_bank_np(kernel_size, num))
 
 
 def rgb_to_gray255(image_pm1: jax.Array) -> jax.Array:

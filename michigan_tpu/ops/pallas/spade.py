@@ -1,0 +1,144 @@
+"""Fused SPADE normalization kernels.
+
+The SPADE block normalizes x then applies `(1 + gamma) * x_hat + beta`
+(reference normalization.py:101-118).  Composed in XLA this reads x from HBM
+at least twice (stat pass + normalize pass) and gamma/beta once each; the
+Pallas kernels below do the whole thing in one resident VMEM tile per
+(batch, channel-block):
+
+  fused_instance_norm(x[, gamma, beta])  per-(N,C) stats + modulate, 1 pass
+  spade_modulate(x, mean, invstd, gamma, beta)  elementwise modulate for the
+      syncbatch path (stats arrive from the cross-replica psum)
+
+Layout: NHWC with C innermost (lane dim).  H*W is flattened to the sublane
+axis, channels tiled in blocks of 128 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _in_kernel(x_ref, out_ref, *, eps):
+    """One (1, HW, Cb) block: stats over HW then normalize, all in VMEM."""
+    x = x_ref[0].astype(jnp.float32)  # (HW, Cb)
+    n = x.shape[0]
+    mean = jnp.sum(x, axis=0, keepdims=True) / n
+    var = jnp.sum((x - mean) ** 2, axis=0, keepdims=True) / n
+    inv = jax.lax.rsqrt(var + eps)
+    out_ref[0] = ((x - mean) * inv).astype(out_ref.dtype)
+
+
+def _in_mod_kernel(x_ref, g_ref, b_ref, out_ref, *, eps):
+    x = x_ref[0].astype(jnp.float32)
+    n = x.shape[0]
+    mean = jnp.sum(x, axis=0, keepdims=True) / n
+    var = jnp.sum((x - mean) ** 2, axis=0, keepdims=True) / n
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    out_ref[0] = (
+        xhat * (1.0 + g_ref[0].astype(jnp.float32)) + b_ref[0].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+def fused_instance_norm(
+    x: jax.Array,
+    gamma: jax.Array | None = None,
+    beta: jax.Array | None = None,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Instance norm (+ optional SPADE modulation) in one HBM pass.
+
+    x, gamma, beta: (N,H,W,C).  Channel dim padded to a 128 multiple.
+    """
+    n, h, w, c = x.shape
+    hw = h * w
+    cb = min(128, ((c + 127) // 128) * 128)
+    c_pad = ((c + cb - 1) // cb) * cb
+    xf = x.reshape(n, hw, c)
+    if c_pad != c:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, c_pad - c)))
+    grid = (n, c_pad // cb)
+    specs = pl.BlockSpec((1, hw, cb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+
+    if gamma is None:
+        out = pl.pallas_call(
+            functools.partial(_in_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            grid=grid,
+            in_specs=[specs],
+            out_specs=specs,
+            interpret=_interpret(),
+        )(xf)
+    else:
+        gf = gamma.reshape(n, hw, c)
+        bf = beta.reshape(n, hw, c)
+        if c_pad != c:
+            gf = jnp.pad(gf, ((0, 0), (0, 0), (0, c_pad - c)))
+            bf = jnp.pad(bf, ((0, 0), (0, 0), (0, c_pad - c)))
+        out = pl.pallas_call(
+            functools.partial(_in_mod_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            grid=grid,
+            in_specs=[specs, specs, specs],
+            out_specs=specs,
+            interpret=_interpret(),
+        )(xf, gf, bf)
+    if c_pad != c:
+        out = out[..., :c]
+    return out.reshape(n, h, w, c)
+
+
+def _mod_kernel(x_ref, mean_ref, inv_ref, g_ref, b_ref, out_ref):
+    x = x_ref[...].astype(jnp.float32)
+    xhat = (x - mean_ref[...]) * inv_ref[...]
+    out_ref[...] = (
+        xhat * (1.0 + g_ref[...].astype(jnp.float32))
+        + b_ref[...].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+def spade_modulate(
+    x: jax.Array, mean: jax.Array, invstd: jax.Array,
+    gamma: jax.Array, beta: jax.Array,
+) -> jax.Array:
+    """(x - mean) * invstd * (1 + gamma) + beta, tiled over rows.
+
+    mean/invstd are per-channel (C,) — the syncbatch statistics."""
+    n, h, w, c = x.shape
+    rows = n * h * w
+    xf = x.reshape(rows, c)
+    gf = gamma.reshape(rows, c)
+    bf = beta.reshape(rows, c)
+    block_r = 512
+    r_pad = ((rows + block_r - 1) // block_r) * block_r
+    c_pad = ((c + 127) // 128) * 128
+    padder = lambda a: jnp.pad(a, ((0, r_pad - rows), (0, c_pad - c)))
+    xf, gf, bf = padder(xf), padder(gf), padder(bf)
+    mean_p = jnp.pad(mean.astype(jnp.float32), (0, c_pad - c)).reshape(1, c_pad)
+    inv_p = jnp.pad(invstd.astype(jnp.float32), (0, c_pad - c)).reshape(1, c_pad)
+
+    grid = (r_pad // block_r,)
+    row_spec = pl.BlockSpec((block_r, c_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, c_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mod_kernel,
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=grid,
+        in_specs=[row_spec, vec_spec, vec_spec, row_spec, row_spec],
+        out_specs=row_spec,
+        interpret=_interpret(),
+    )(xf, mean_p, inv_p, gf, bf)
+    return out[:rows, :c].reshape(n, h, w, c)

@@ -94,8 +94,9 @@ class TrainState(struct.PyTreeNode):
         def set_lr(state, lr):
             if state is None:
                 return None
-            return dataclasses.replace(
-                state, hyperparams={**state.hyperparams, "learning_rate": jnp.asarray(lr)}
+            # optax InjectHyperparamsState is a NamedTuple
+            return state._replace(
+                hyperparams={**state.hyperparams, "learning_rate": jnp.asarray(lr)}
             )
 
         return self.replace(

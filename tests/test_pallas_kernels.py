@@ -1,0 +1,51 @@
+"""Pallas kernels vs their XLA-composed references (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from michigan_tpu.ops.norms import instance_norm
+from michigan_tpu.ops.filters import orientation_response
+from michigan_tpu.ops.pallas.spade import fused_instance_norm, spade_modulate
+from michigan_tpu.ops.pallas.filterbank import filterbank_orientation
+
+
+def test_fused_instance_norm(rng):
+    x = rng.standard_normal((2, 8, 8, 32)).astype(np.float32)
+    ours = np.asarray(fused_instance_norm(jnp.asarray(x)))
+    ref = np.asarray(instance_norm(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_instance_norm_modulated(rng):
+    x = rng.standard_normal((1, 8, 8, 20)).astype(np.float32)  # non-128 C
+    g = rng.standard_normal((1, 8, 8, 20)).astype(np.float32)
+    b = rng.standard_normal((1, 8, 8, 20)).astype(np.float32)
+    ours = np.asarray(
+        fused_instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    )
+    ref = np.asarray(instance_norm(jnp.asarray(x))) * (1 + g) + b
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spade_modulate(rng):
+    x = rng.standard_normal((2, 4, 4, 16)).astype(np.float32)
+    mean = rng.standard_normal(16).astype(np.float32)
+    inv = rng.uniform(0.5, 2.0, 16).astype(np.float32)
+    g = rng.standard_normal((2, 4, 4, 16)).astype(np.float32)
+    b = rng.standard_normal((2, 4, 4, 16)).astype(np.float32)
+    ours = np.asarray(
+        spade_modulate(jnp.asarray(x), jnp.asarray(mean), jnp.asarray(inv),
+                       jnp.asarray(g), jnp.asarray(b))
+    )
+    ref = (x - mean) * inv * (1 + g) + b
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_filterbank_orientation(rng):
+    gray = (rng.standard_normal((1, 40, 48, 1)) * 10).astype(np.float32)
+    idx, conf = filterbank_orientation(jnp.asarray(gray), "gabor", tile_h=16)
+    idx_ref, conf_ref = orientation_response(jnp.asarray(gray), "gabor")
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(conf_ref),
+                               rtol=1e-4, atol=1e-3)
+    mismatch = (np.asarray(idx) != np.asarray(idx_ref)).mean()
+    assert mismatch < 1e-3

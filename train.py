@@ -1,0 +1,143 @@
+"""Training driver CLI (reference train.py).
+
+Keeps the reference's epoch loop shape: alternating G/D steps gated by
+D_steps_per_G / G_steps_per_D, the optional two-stage unpair outer path,
+periodic print/display/save, epoch-level LR decay — but each step is one
+jit-compiled sharded function over a `jax.sharding.Mesh` instead of a
+DataParallel dispatch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.config import train_options
+    from michigan_tpu.data.dataset import create_dataloader
+    from michigan_tpu.losses.color import load_ab_count
+    from michigan_tpu.model import MichiGANModel
+    from michigan_tpu.parallel.mesh import make_mesh
+    from michigan_tpu.training import checkpoint as CK
+    from michigan_tpu.training.state import TrainState
+    from michigan_tpu.training.train_step import make_train_steps
+    from michigan_tpu.utils.iter_counter import IterationCounter
+    from michigan_tpu.utils.visualizer import Visualizer
+
+    opt = train_options(argv)
+    print(" ".join(sys.argv))
+
+    dataloader = create_dataloader(opt)
+    dataloader2 = create_dataloader(opt, 2) if opt.unpairTrain else None
+
+    n_dev = jax.device_count()
+    assert opt.batchSize % n_dev == 0, (
+        f"batchSize {opt.batchSize} must divide across {n_dev} devices"
+    )
+    mesh = make_mesh(opt.mesh_shape) if n_dev > 1 else None
+    ab_count = None
+    if opt.balance_Lab and os.path.exists(opt.weight_dir):
+        ab_count = load_ab_count(opt.weight_dir)
+
+    model, g_step, d_step = make_train_steps(opt, mesh=mesh, ab_count=ab_count)
+
+    iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
+    visualizer = Visualizer(opt)
+
+    # ---- initialize or resume ----
+    rng = jax.random.PRNGKey(opt.seed)
+    assert len(dataloader) > 0, (
+        f"dataset at {opt.data_dir} yields no full batches of {opt.batchSize}"
+    )
+    first_batch = next(iter(dataloader))
+    batch0 = {k: jnp.asarray(v) for k, v in first_batch.items()}
+    variables = model.init_variables(rng, batch0)
+    state = TrainState.create(opt, variables)
+    if opt.continue_train:
+        restored = CK.load_checkpoint(opt, opt.which_epoch)
+        if restored is not None:
+            state = state.replace(
+                variables=restored["variables"],
+                opt_g_state=jax.tree_util.tree_map(
+                    jnp.asarray, restored["opt_g"]
+                ) if restored.get("opt_g") is not None else state.opt_g_state,
+                step=jnp.asarray(restored.get("step", 0)),
+            )
+            print(f"resumed checkpoint '{opt.which_epoch}'")
+    del variables
+
+    host_rng = random.Random(opt.seed)
+
+    def run_epoch(epoch, loader, curr_step):
+        nonlocal state
+        opt.curr_step = curr_step
+        iter_counter.record_epoch_start(epoch)
+        for i, data in enumerate(loader):
+            iter_counter.record_one_iteration()
+            batch = {k: jnp.asarray(v) for k, v in data.items()}
+            step_rng = jax.random.fold_in(
+                jax.random.PRNGKey(opt.seed), int(iter_counter.total_steps_so_far)
+            )
+            # host-side sample of the random mask dilation width
+            # (encoder.py:294: k in {th-4..th+4} -> 0..4 extra 3x3 steps)
+            extra = jnp.asarray(host_rng.randint(0, 4), jnp.int32)
+
+            g_losses = d_losses = {}
+            fake = None
+            if i % opt.D_steps_per_G == 0:
+                state, g_losses, fake = g_step(state, batch, step_rng, extra)
+            if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
+                state, d_losses = d_step(state, batch, step_rng, extra)
+
+            if iter_counter.needs_printing():
+                losses = {**{k: np.asarray(v) for k, v in g_losses.items()},
+                          **{k: np.asarray(v) for k, v in d_losses.items()}}
+                visualizer.print_current_errors(
+                    epoch, iter_counter.epoch_iter, losses,
+                    iter_counter.time_per_iter,
+                )
+            if iter_counter.needs_displaying() and fake is not None:
+                visuals = {
+                    "input_ref": np.asarray(data["label_ref"][0]),
+                    "input_tag": np.asarray(data["label_tag"][0]),
+                    "synthesized_image": np.asarray(fake[0]),
+                    "image_ref": np.asarray(data["image_ref"][0]),
+                    "image_tag": np.asarray(data["image_tag"][0]),
+                }
+                visualizer.display_current_results(
+                    visuals, epoch, iter_counter.total_steps_so_far
+                )
+            if iter_counter.needs_saving():
+                print(
+                    f"saving the latest model (epoch {epoch}, "
+                    f"total_steps {iter_counter.total_steps_so_far})"
+                )
+                CK.save_checkpoint(opt, "latest", state)
+                iter_counter.record_current_iter()
+
+    for epoch in iter_counter.training_epochs():
+        if opt.unpairTrain:
+            run_epoch(epoch, dataloader2, curr_step=2)
+        run_epoch(epoch, dataloader, curr_step=1)
+        state = state.set_learning_rate(opt, epoch + 1)
+        iter_counter.record_epoch_end()
+        if epoch % opt.save_epoch_freq == 0 or epoch == iter_counter.total_epochs:
+            print(
+                f"saving the model at the end of epoch {epoch}, "
+                f"iters {iter_counter.total_steps_so_far}"
+            )
+            CK.save_checkpoint(opt, "latest", state)
+            CK.save_checkpoint(opt, epoch, state)
+
+    print("Training was successfully finished.")
+
+
+if __name__ == "__main__":
+    main()
