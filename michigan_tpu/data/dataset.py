@@ -27,8 +27,15 @@ IMG_EXTENSIONS = (
 )
 
 
-def list_images(directory: str, recursive: bool = False) -> List[str]:
-    """image_folder.py:36-64 equivalent (without the files.list cache)."""
+def list_images(
+    directory: str, recursive: bool = False,
+    cache_read: bool = False, cache_write: bool = False,
+) -> List[str]:
+    """image_folder.py:36-64 equivalent incl. the files.list cache."""
+    cache_path = os.path.join(directory, "files.list")
+    if cache_read and os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return [line.strip() for line in f if line.strip()]
     out = []
     if recursive:
         for root, _, files in os.walk(directory):
@@ -39,7 +46,11 @@ def list_images(directory: str, recursive: bool = False) -> List[str]:
             for f in sorted(os.listdir(directory))
             if f.endswith(IMG_EXTENSIONS)
         ]
-    return sorted(out)
+    out = sorted(out)
+    if cache_write:
+        with open(cache_path, "w") as f:
+            f.write("\n".join(out))
+    return out
 
 
 class CustomDataset:
@@ -52,14 +63,15 @@ class CustomDataset:
         phase = "train" if opt.isTrain else opt.subset
         clear = "clear_" if opt.clear else ""
         base = opt.data_dir
+        kw = dict(cache_read=opt.cache_filelist_read, cache_write=opt.cache_filelist_write)
         self.label_paths = list_images(
-            opt.label_dir or os.path.join(base, f"{clear}{phase}_labels")
+            opt.label_dir or os.path.join(base, f"{clear}{phase}_labels"), **kw
         )[: opt.max_dataset_size]
         self.image_paths = list_images(
-            opt.image_dir or os.path.join(base, f"{clear}{phase}_images")
+            opt.image_dir or os.path.join(base, f"{clear}{phase}_images"), **kw
         )[: opt.max_dataset_size]
         self.orient_paths = list_images(
-            opt.orient_dir or os.path.join(base, f"{clear}{phase}_dense_orients")
+            opt.orient_dir or os.path.join(base, f"{clear}{phase}_dense_orients"), **kw
         )[: opt.max_dataset_size]
         if not opt.no_pairing_check:
             for lp, ip in zip(self.label_paths, self.image_paths):

@@ -50,6 +50,7 @@ class MichiGANModel:
         self.netIG = nets.define_IG(opt) if opt.use_ig else None
         self.netSIG = nets.define_SIG(opt) if opt.use_stroke else None
         self.netB = nets.define_B(opt) if opt.use_blender else None
+        self.netFE = nets.define_FE(opt) if opt.use_instance_feat else None
         self.vgg = VGG19() if opt.isTrain else None
 
     # ------------------------------------------------------------------
@@ -95,6 +96,11 @@ class MichiGANModel:
             out["netB"] = self.netB.init(
                 keys[6], pre["image_tag"], pre["image_tag"], pre["input_tag"],
                 pre["noise"],
+            )
+        if self.netFE is not None:
+            out["netFE"] = self.netFE.init(
+                jax.random.fold_in(keys[6], 1), pre["image_tag"],
+                batch.get("instance", jnp.zeros_like(pre["image_tag"][..., :1])),
             )
         if self.vgg is not None:
             out["vgg"] = self.vgg.init(keys[7], jnp.zeros((1, 64, 64, 3)))

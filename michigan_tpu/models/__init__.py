@@ -16,6 +16,12 @@ from michigan_tpu.models.encoders import (
     BackgroundEncode2,
 )
 from michigan_tpu.models.blend import Blend2Generator
+from michigan_tpu.models.maskgan import (
+    FeatureEncoder,
+    LabelEncoder,
+    SFTLayer,
+    StyleEncoder,
+)
 from michigan_tpu.models.vgg import VGG19
 
 GENERATORS = {"spadeb": SPADEBGenerator}
@@ -46,3 +52,10 @@ def define_SIG(opt):
 
 def define_B(opt):
     return BLENDERS[opt.netB](opt=opt)
+
+
+def define_FE(opt):
+    """pix2pixHD instance-feature encoder (models/networks/__init__.py:77-80)."""
+    return FeatureEncoder(
+        input_nc=opt.feat_input_nc, output_nc=opt.feat_num, ngf=opt.nef
+    )

@@ -8,7 +8,7 @@ import jax
 import flax.linen as nn
 
 from michigan_tpu.models.layers import TorchConv
-from michigan_tpu.models.normalization import SPADE
+from michigan_tpu.models.normalization import SPADE, SPADEImage
 
 
 class SPADEResnetBlock(nn.Module):
@@ -58,5 +58,47 @@ class SPADEResnetBlock(nn.Module):
         )
         dx = conv("conv_1", self.fout, 3, 1)(
             jax.nn.leaky_relu(spade("norm_1", fmiddle)(dx, seg, train), 0.2), train
+        )
+        return x_s + dx
+
+
+class SPADEImageBlock(nn.Module):
+    """SPADE residual block conditioned on a full-res image via SPADEImage
+    norms (architecture.py:88-135).  Non-default capability path."""
+
+    fin: int
+    fout: int
+    opt: object
+    downsample_n: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, image: jax.Array, train: bool = False) -> jax.Array:
+        opt = self.opt
+        fmiddle = min(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+        spectral = "spectral" in opt.norm_G
+        spade_cfg = opt.norm_G.replace("spectral", "")
+
+        def norm(name, nc):
+            return SPADEImage(
+                spade_cfg, nc, 3, self.downsample_n, axis_name=self.axis_name,
+                name=name,
+            )
+
+        def conv(name, nf, ks, pad, bias=True):
+            return TorchConv(nf, ks, padding=pad, use_bias=bias,
+                             spectral=spectral, name=name)
+
+        x_s = x
+        if learned_shortcut:
+            x_s = conv("conv_s", self.fout, 1, 0, bias=False)(
+                norm("norm_s", self.fin)(x, image, train), train
+            )
+        dx = conv("conv_0", fmiddle, 3, 1)(
+            jax.nn.leaky_relu(norm("norm_0", self.fin)(x, image, train), 0.2), train
+        )
+        dx = conv("conv_1", self.fout, 3, 1)(
+            jax.nn.leaky_relu(norm("norm_1", fmiddle)(dx, image, train), 0.2), train
         )
         return x_s + dx

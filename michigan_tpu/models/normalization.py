@@ -104,6 +104,39 @@ class SPADE(nn.Module):
         return normalized * (1.0 + gamma) + beta
 
 
+class SPADEImage(nn.Module):
+    """SPADE variant conditioned on a full-resolution image with its own
+    stride-2 downsampling stack instead of nearest resize
+    (normalization.py:152-203).  Used by SPADEImageBlock (non-default path).
+    """
+
+    config_text: str
+    norm_nc: int
+    image_nc: int
+    downsample_n: int
+    axis_name: Optional[str] = None
+    nhidden: int = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array, image: jax.Array, train: bool = False) -> jax.Array:
+        norm_type, ks = parse_spade_config(self.config_text)
+        pw = ks // 2
+        normalized = ParamFreeNorm(
+            norm_type, x.shape[-1], axis_name=self.axis_name,
+            name="param_free_norm",
+        )(x, train)
+        actv = jax.nn.relu(
+            TorchConv(self.nhidden, ks, padding=pw, name="mlp_shared_0")(image, train)
+        )
+        for i in range(self.downsample_n):
+            actv = jax.nn.relu(
+                TorchConv(self.nhidden, 3, 2, pw, name=f"middle_{2 * i}")(actv, train)
+            )
+        gamma = TorchConv(self.norm_nc, ks, padding=pw, name="mlp_gamma")(actv, train)
+        beta = TorchConv(self.norm_nc, ks, padding=pw, name="mlp_beta")(actv, train)
+        return normalized * (1.0 + gamma) + beta
+
+
 class NonSpadeNorm(nn.Module):
     """get_nonspade_norm_layer wrapper semantics (normalization.py:18-54):
     spectral conv (bias stripped when a norm follows) + batch/syncbatch/

@@ -23,6 +23,8 @@ def g_net_names(opt) -> tuple:
         names.append("netG")
     if opt.use_vae:
         names.append("netE")
+    if opt.use_instance_feat:
+        names.append("netFE")
     if opt.use_blender:
         names.append("netB")
     return tuple(names)

@@ -81,3 +81,21 @@ class IterationCounter:
 
     def needs_saving(self) -> bool:
         return self._trigger(self.opt.save_latest_freq)
+
+
+class IterationCounterMS(IterationCounter):
+    """Variant persisting total_steps_so_far for progressive/multiscale
+    training (reference util/iter_counter_ms.py:12-73)."""
+
+    def record_current_iter(self):
+        os.makedirs(os.path.dirname(self.iter_record_path), exist_ok=True)
+        np.savetxt(
+            self.iter_record_path,
+            (self.current_epoch, self.epoch_iter, self.total_steps_so_far),
+            delimiter=",", fmt="%d",
+        )
+
+    def _load_record(self):
+        self.first_epoch, self.epoch_iter, self.total_steps_so_far = np.loadtxt(
+            self.iter_record_path, delimiter=",", dtype=int
+        )
