@@ -1,0 +1,122 @@
+"""Training-path behavior: step configs, LR schedule, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from michigan_tpu.config import Options
+from michigan_tpu.training.state import TrainState, learning_rates
+from michigan_tpu.training.train_step import make_train_steps
+
+
+def tiny_opt(**kw):
+    d = dict(
+        isTrain=True, crop_size=64, load_size=64, ngf=8, ndf=8, batchSize=2,
+        use_encoder=True, use_ig=True, noise_background=True,
+        num_upsampling_layers="normal", donate_buffers=False,
+    )
+    d.update(kw)
+    return Options(**d).finalize()
+
+
+def tiny_batch(opt, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    s = opt.crop_size
+    return {
+        "label_ref": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "label_tag": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "image_ref": jnp.asarray(rng.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "image_tag": jnp.asarray(rng.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "orient": jnp.asarray(rng.uniform(0, 255, (n, s, s, 1)), jnp.float32),
+        "hole": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "orient_rgb": jnp.asarray(rng.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+        "noise": jnp.asarray(rng.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+    }
+
+
+def run_one_gd(opt):
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(1, jnp.int32)
+    state, g_losses, fake = g_step(state, batch, rng, extra)
+    state, d_losses = d_step(state, batch, rng, extra)
+    for k, v in {**g_losses, **d_losses}.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    return state, g_losses, d_losses
+
+
+def test_vae_config():
+    opt = tiny_opt(use_vae=True, use_encoder=False)
+    state, g_losses, _ = run_one_gd(opt)
+    assert "KLD" in g_losses
+
+
+def test_blender_config():
+    opt = tiny_opt(use_blender=True)
+    state, g_losses, _ = run_one_gd(opt)
+    assert "GAN" in g_losses
+
+
+def test_unpair_step2_config():
+    opt = tiny_opt(unpairTrain=True, curr_step=2)
+    state, g_losses, d_losses = run_one_gd(opt)
+    assert "hairAvgLab" in g_losses
+    # step 2 must have trained netD2's optimizer
+    assert state.opt_d2_state is not None
+
+
+def test_no_ig_config():
+    opt = tiny_opt(use_ig=False)
+    run_one_gd(opt)
+
+
+def test_params_change_and_frozen_nets_do_not():
+    opt = tiny_opt()
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    g0 = jax.tree_util.tree_leaves(variables["netG"]["params"])[0].copy()
+    ig0 = jax.tree_util.tree_leaves(variables["netIG"]["params"])[0].copy()
+    state, _, _ = g_step(state, batch, rng, jnp.asarray(0))
+    g1 = jax.tree_util.tree_leaves(state.variables["netG"]["params"])[0]
+    ig1 = jax.tree_util.tree_leaves(state.variables["netIG"]["params"])[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1)), "netG did not train"
+    np.testing.assert_array_equal(np.asarray(ig0), np.asarray(ig1))  # IG frozen
+
+
+def test_learning_rate_schedule():
+    opt = tiny_opt(niter=10, niter_decay=10, lr=0.0002)
+    g, d = learning_rates(opt, epoch=1)
+    assert g == pytest.approx(0.0001) and d == pytest.approx(0.0004)  # TTUR
+    g, d = learning_rates(opt, epoch=15)
+    assert g == pytest.approx(0.0001 / 2) and d == pytest.approx(0.0004 / 2)
+    opt2 = tiny_opt(no_TTUR=True, niter=10, niter_decay=10)
+    g, d = learning_rates(opt2, epoch=1)
+    assert g == d == pytest.approx(0.0002)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from michigan_tpu.training import checkpoint as CK
+
+    opt = tiny_opt(checkpoints_dir=str(tmp_path), name="t")
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    state, _, _ = g_step(state, batch, rng, jnp.asarray(0))
+
+    CK.save_checkpoint(opt, "latest", state)
+    restored = CK.load_checkpoint(opt, "latest")
+    assert restored is not None
+    a = jax.tree_util.tree_leaves(state.variables["netG"]["params"])[0]
+    b = jax.tree_util.tree_leaves(restored["variables"]["netG"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored["step"]) == 1
