@@ -29,12 +29,13 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")  # bf16 adds casts without speedup: XLA default precision already uses bf16 MXU passes
 
     opt = Options(
         isTrain=False, phase="test", batchSize=batch_size,
         crop_size=512, load_size=512, netG="spadeb", use_encoder=True,
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
-        num_upsampling_layers="more",
+        num_upsampling_layers="more", dtype=dtype,
     ).finalize()
     model = MichiGANModel(opt)
 

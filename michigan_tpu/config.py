@@ -214,9 +214,15 @@ class Options:
     no_pairing_check: bool = False
 
     # ---- TPU-native extensions (no reference analog) ----
-    dtype: str = "bfloat16"              # compute dtype for the nets
+    dtype: str = "float32"               # compute dtype for the nets
+                                         # ("bfloat16" halves HBM traffic and
+                                         # doubles MXU rate; fp32 for parity)
     mesh_shape: str = "data:-1"          # axis:size list, -1 = all devices
     seed: int = 0
+    debug_nans: bool = False             # jax.debug_nans + finite-loss guard
+                                         # (replaces the reference's commented
+                                         # NaN counters, pix2pix_trainer.py:45-56)
+    profile_dir: str = ""                # write a jax.profiler trace here
     bench_iters: int = 20
     use_pallas: bool = True              # use fused Pallas kernels where profitable
     donate_buffers: bool = True

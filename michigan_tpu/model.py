@@ -41,6 +41,10 @@ class MichiGANModel:
     def __init__(self, opt, axis_name: Optional[str] = None):
         self.opt = opt
         self.axis_name = axis_name
+        self.compute_dtype = (
+            jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
         self.netG = nets.define_G(opt, axis_name)
         self.netD = nets.define_D(opt, axis_name) if opt.isTrain else None
         self.netD2 = (
@@ -202,6 +206,9 @@ class MichiGANModel:
         }
         if opt.add_feat_zeros:
             gin = {k: self._zeros_pad(v) for k, v in gin.items()}
+        # bf16 compute policy: halve HBM traffic / double MXU rate; params
+        # stay fp32 (cast per-conv), norm statistics accumulate in fp32
+        gin = {k: v.astype(self.compute_dtype) for k, v in gin.items()}
         return gin
 
     def encode_z(self, variables, image, rng):
@@ -241,13 +248,18 @@ class MichiGANModel:
                     train=train, extra_dilate_steps=extra_dilate_steps,
                 )
 
+        if fake_image is not None:
+            fake_image = fake_image.astype(jnp.float32)
+
         blend_image = None
         if opt.use_blender:
             src = pre["image_ref"] if opt.only_blend else fake_image
             blend_image = self.netB.apply(
-                variables["netB"], src, pre["image_tag"], pre["input_tag"],
-                pre["noise"], train=train,
-            )
+                variables["netB"], src.astype(self.compute_dtype),
+                pre["image_tag"].astype(self.compute_dtype),
+                pre["input_tag"].astype(self.compute_dtype),
+                pre["noise"].astype(self.compute_dtype), train=train,
+            ).astype(jnp.float32)
         return fake_image, kld, blend_image, updates
 
     # ------------------------------------------------------------------
@@ -268,6 +280,7 @@ class MichiGANModel:
         fake_concat = jnp.concatenate([input_tag, orient_input, fake_image], axis=-1)
         real_concat = jnp.concatenate([input_tag, orient_input, real_image], axis=-1)
         fake_and_real = jnp.concatenate([fake_concat, real_concat], axis=0)
+        fake_and_real = fake_and_real.astype(self.compute_dtype)
 
         net = self.netD
         dvars = variables["netD"]
@@ -277,8 +290,8 @@ class MichiGANModel:
         out = net.apply(dvars, fake_and_real, train=train)
 
         n = fake_concat.shape[0]
-        pred_fake = [[t[:n] for t in scale] for scale in out]
-        pred_real = [[t[n:] for t in scale] for scale in out]
+        pred_fake = [[t[:n].astype(jnp.float32) for t in scale] for scale in out]
+        pred_real = [[t[n:].astype(jnp.float32) for t in scale] for scale in out]
         return pred_fake, pred_real
 
     # ------------------------------------------------------------------

@@ -18,11 +18,13 @@ import jax.numpy as jnp
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """nn.InstanceNorm2d(affine=False) on NHWC: per-(N,C) over spatial dims.
 
-    torch normalizes by biased variance with eps inside the sqrt.
+    torch normalizes by biased variance with eps inside the sqrt.  Statistics
+    always accumulate in fp32 (bf16 activations would lose the mean).
     """
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_stats(x: jax.Array, axis_name: Optional[str] = None):

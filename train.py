@@ -34,6 +34,9 @@ def main(argv=None):
     opt = train_options(argv)
     print(" ".join(sys.argv))
 
+    if opt.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     dataloader = create_dataloader(opt)
     dataloader2 = create_dataloader(opt, 2) if opt.unpairTrain else None
 
@@ -95,6 +98,22 @@ def main(argv=None):
                 state, g_losses, fake = g_step(state, batch, step_rng, extra)
             if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
                 state, d_losses = d_step(state, batch, step_rng, extra)
+
+            if opt.debug_nans and (g_losses or d_losses):
+                for k, v in {**g_losses, **d_losses}.items():
+                    val = float(np.asarray(v))
+                    assert np.isfinite(val), (
+                        f"non-finite loss {k}={val} at step "
+                        f"{iter_counter.total_steps_so_far}"
+                    )
+
+            if opt.profile_dir and iter_counter.total_steps_so_far == (
+                3 * opt.batchSize
+            ):
+                # trace one steady-state step (post-compile)
+                with jax.profiler.trace(opt.profile_dir):
+                    state, g_losses, fake = g_step(state, batch, step_rng, extra)
+                print(f"profiler trace written to {opt.profile_dir}")
 
             if iter_counter.needs_printing():
                 losses = {**{k: np.asarray(v) for k, v in g_losses.items()},
