@@ -19,7 +19,7 @@ from PIL import Image
 
 from michigan_tpu.data.preprocess import generate_hole, trans_orient_to_rgb
 from michigan_tpu.data.transforms import get_params, get_transform
-from michigan_tpu.ops.noise import generate_noise
+from michigan_tpu.ops.noise import generate_noise_fast
 
 IMG_EXTENSIONS = (
     ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm", ".PPM",
@@ -127,9 +127,8 @@ class CustomDataset:
         else:
             hole_t = np.zeros_like(label_t)
 
-        noise = generate_noise(
-            opt.crop_size, opt.crop_size,
-            np.random.default_rng(rng.getrandbits(32)),
+        noise = generate_noise_fast(
+            opt.crop_size, opt.crop_size, rng.getrandbits(32)
         ).astype(np.float32)
 
         return {

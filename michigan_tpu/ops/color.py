@@ -10,14 +10,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# sRGB -> XYZ (loss.py:409)
-_M = jnp.array(
+import numpy as np
+
+# sRGB -> XYZ (loss.py:409); plain numpy so importing this module does not
+# force jax backend initialization
+_M = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
         [0.019334, 0.119193, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 _M_ROWSUM = _M.sum(axis=1)  # white point normalization (loss.py:461-464)
 

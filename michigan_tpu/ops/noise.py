@@ -53,3 +53,14 @@ def generate_noise_jax(key: jax.Array, width: int, height: int) -> jnp.ndarray:
         w //= 2
         h //= 2
     return (noise / total)[0]
+
+
+def generate_noise_fast(width: int, height: int, seed: int) -> np.ndarray:
+    """Native C++ pyramid when available (michigan_tpu/native), else the
+    cv2 reference implementation.  Deterministic in `seed` either way."""
+    from michigan_tpu import native
+
+    out = native.noise_pyramid(height, width, seed)
+    if out is None:
+        return generate_noise(width, height, np.random.default_rng(seed))
+    return out
