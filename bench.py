@@ -1,4 +1,8 @@
-"""Headline benchmark: 512^2 batched inference throughput per chip.
+"""Headline benchmark: 512^2 batched inference (or training) throughput.
+
+BENCH_MODE=train measures the full G+D train step (hinge + feature-matching
++ VGG/style/content + orientation + Lab losses) at batch 8 — the reference's
+training config of record (BASELINE.md).
 
 Runs the flagship configuration (BASELINE.json batched-inference config:
 spadeb generator + partialconv appearance encoder + IG orientation
@@ -29,13 +33,15 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    mode = os.environ.get("BENCH_MODE", "infer")
     dtype = os.environ.get("BENCH_DTYPE", "float32")  # bf16 adds casts without speedup: XLA default precision already uses bf16 MXU passes
 
     opt = Options(
-        isTrain=False, phase="test", batchSize=batch_size,
+        isTrain=(mode == "train"), phase="test", batchSize=batch_size,
         crop_size=512, load_size=512, netG="spadeb", use_encoder=True,
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
-        num_upsampling_layers="more", dtype=dtype,
+        random_expand_mask=(mode == "train"),
+        num_upsampling_layers="more", dtype=dtype, donate_buffers=False,
     ).finalize()
     model = MichiGANModel(opt)
 
@@ -57,6 +63,35 @@ def main():
     # jit the init too: eager init is hundreds of tiny dispatches, which is
     # pathological through the remote-TPU relay
     variables = jax.jit(model.init_variables)(key, batch)
+
+    if mode == "train":
+        from michigan_tpu.training.state import TrainState
+        from michigan_tpu.training.train_step import make_train_steps
+
+        model2, g_step, d_step = make_train_steps(opt)
+        state = TrainState.create(opt, variables)
+        extra = jnp.asarray(2, jnp.int32)
+
+        def one_step(state):
+            state, g_losses, _ = g_step(state, batch, key, extra)
+            state, d_losses = d_step(state, batch, key, extra)
+            return state, g_losses["GAN"]
+
+        state, s0 = one_step(state)
+        float(s0)  # compile + warmup (value fetch = the only honest sync)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, sv = one_step(state)
+        float(sv)
+        dt = time.perf_counter() - t0
+        imgs_per_sec = batch_size * iters / dt
+        print(json.dumps({
+            "metric": "512px_train_step_throughput_bs%d" % batch_size,
+            "value": round(imgs_per_sec, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     @jax.jit
     def infer_sum(variables, batch):
