@@ -226,6 +226,8 @@ class Options:
     bench_iters: int = 20
     use_pallas: bool = True              # use fused Pallas kernels where profitable
     donate_buffers: bool = True
+    remat: bool = False                  # jax.checkpoint each SPADE block
+                                         # (trade FLOPs for HBM in training)
 
     # ---- derived (finalize) ----
     semantic_nc: int = 2

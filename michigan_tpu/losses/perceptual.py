@@ -20,10 +20,9 @@ def _l1_mask_sum(a, b, label):
     )
 
 
-def vgg_loss(vgg_apply, fake, real, opt, label=None) -> jax.Array:
-    """Perceptual L1 over 5 slices (loss.py:199-207)."""
-    fx = vgg_apply(fake)
-    fy = vgg_apply(jax.lax.stop_gradient(real))
+def vgg_loss_from_features(fx, fy, opt, label=None) -> jax.Array:
+    """Perceptual L1 over 5 slices (loss.py:199-207), from precomputed
+    feature lists (lets the caller share VGG forwards across losses)."""
     total = 0.0
     for w, a, b in zip(VGG_WEIGHTS, fx, fy):
         b = jax.lax.stop_gradient(b)
@@ -43,15 +42,12 @@ def _mean_std(feat, eps=1e-5):
     return mean, jnp.sqrt(var).reshape(n, 1, 1, c)
 
 
-def style_content_loss(
-    vgg_apply, fake, style_img, content_img, opt, style_label=None, content_label=None
-):
+def style_content_loss_from_features(f_fake, f_style, f_content, opt,
+                                      style_label=None, content_label=None):
     """(content, style) pair (loss.py:656-712): content = MSE on relu5_1,
     style = MSE on per-channel mean/std over all 5 slices; masked variants
-    when remove_background."""
-    f_fake = vgg_apply(fake)
-    f_style = [jax.lax.stop_gradient(t) for t in vgg_apply(style_img)]
-    f_content = [jax.lax.stop_gradient(t) for t in vgg_apply(content_img)]
+    when remove_background.  Style/content features must be pre-stop-gradiented.
+    """
 
     if opt.remove_background:
         cl = jax.lax.stop_gradient(content_label)
@@ -77,3 +73,20 @@ def style_content_loss(
         fm, fstd = _mean_std(ff)
         loss_s = loss_s + jnp.mean((sm - fm) ** 2) + jnp.mean((ss - fstd) ** 2)
     return loss_c, loss_s
+
+
+def vgg_loss(vgg_apply, fake, real, opt, label=None) -> jax.Array:
+    fx = vgg_apply(fake)
+    fy = vgg_apply(jax.lax.stop_gradient(real))
+    return vgg_loss_from_features(fx, fy, opt, label)
+
+
+def style_content_loss(
+    vgg_apply, fake, style_img, content_img, opt, style_label=None, content_label=None
+):
+    f_fake = vgg_apply(fake)
+    f_style = [jax.lax.stop_gradient(t) for t in vgg_apply(style_img)]
+    f_content = [jax.lax.stop_gradient(t) for t in vgg_apply(content_img)]
+    return style_content_loss_from_features(
+        f_fake, f_style, f_content, opt, style_label, content_label
+    )

@@ -345,20 +345,29 @@ class MichiGANModel:
         ).astype(jnp.float32)
 
         vgg_apply = lambda x: self.vgg.apply(variables["vgg"], x)
+        if getattr(opt, "remat", False):
+            # rematerialize the frozen VGG tower in the backward pass —
+            # its relu1 activations at 512^2 dominate HBM otherwise
+            vgg_apply = jax.checkpoint(vgg_apply)
 
         if opt.curr_step == 1:
+            # one VGG forward per distinct image; fake/tag features shared
+            # between the perceptual and style/content losses (the reference
+            # recomputes them, pix2pix_model.py:301-315)
+            f_fake = vgg_apply(out_img)
+            f_tag = [jax.lax.stop_gradient(t) for t in vgg_apply(pre["image_tag"])]
+            f_ref = [jax.lax.stop_gradient(t) for t in vgg_apply(pre["image_ref"])]
             if not opt.no_ganFeat_loss:
                 losses["GAN_Feat"] = ref_is_tag * L.gan_feat_loss(
                     pred_fake, pred_real, opt, label_tag
                 )
             if not opt.no_vgg_loss:
                 losses["VGG"] = ref_is_tag * (
-                    L.vgg_loss(vgg_apply, out_img, pre["image_tag"], opt, label_tag)
+                    L.vgg_loss_from_features(f_fake, f_tag, opt, label_tag)
                     * opt.lambda_vgg
                 )
-            loss_c, loss_s = L.style_content_loss(
-                vgg_apply, out_img, pre["image_ref"], pre["image_tag"], opt,
-                label_ref, label_tag,
+            loss_c, loss_s = L.style_content_loss_from_features(
+                f_fake, f_ref, f_tag, opt, label_ref, label_tag,
             )
             if not opt.no_content_loss:
                 losses["content"] = loss_c * opt.lambda_content

@@ -120,7 +120,12 @@ class SPADEBGenerator(nn.Module):
             hair_masks = [hm[2], hm[1], hm[0], hair_mask]
 
         def block(name, fin, fout):
-            return SPADEResnetBlock(fin, fout, opt, self.axis_name, name=name)
+            cls = SPADEResnetBlock
+            if getattr(opt, "remat", False) and train:
+                # rematerialize each SPADE block's activations in the
+                # backward pass (HBM for FLOPs; SURVEY §7 hard-parts)
+                cls = nn.remat(SPADEResnetBlock, static_argnums=(2,))
+            return cls(fin, fout, opt, self.axis_name, name=name)
 
         def composite(xx, i):
             if opt.bf_direct_add:

@@ -1,0 +1,87 @@
+"""SPMD correctness: the 8-way sharded train step must reproduce the
+single-device step exactly — same global batch, same losses, same updated
+params (cross-replica BN via psum == full-batch BN; pmean'd shard gradients
+== full-batch gradients).  This is the 'fake multi-node' validation the
+reference never had (SURVEY §4)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from michigan_tpu.config import Options
+from michigan_tpu.parallel.mesh import make_mesh
+from michigan_tpu.training.state import TrainState
+from michigan_tpu.training.train_step import make_train_steps
+
+
+def tiny_opt():
+    return Options(
+        isTrain=True, crop_size=64, load_size=64, ngf=8, ndf=8, batchSize=8,
+        use_encoder=True, use_ig=True, noise_background=True,
+        num_upsampling_layers="normal", donate_buffers=False,
+    ).finalize()
+
+
+def tiny_batch(opt, n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    s = opt.crop_size
+    return {
+        "label_ref": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "label_tag": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "image_ref": jnp.asarray(rng.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "image_tag": jnp.asarray(rng.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "orient": jnp.asarray(rng.uniform(0, 255, (n, s, s, 1)), jnp.float32),
+        "hole": jnp.asarray(rng.integers(0, 2, (n, s, s, 1)), jnp.float32),
+        "orient_rgb": jnp.asarray(rng.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+        "noise": jnp.asarray(rng.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+    }
+
+
+def test_sharded_step_matches_single_device():
+    assert jax.device_count() >= 8, "conftest provides 8 virtual devices"
+    opt = tiny_opt()
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    extra = jnp.asarray(1, jnp.int32)
+
+    model_s, g_single, d_single = make_train_steps(opt, mesh=None)
+    variables = model_s.init_variables(rng, batch)
+    state_s = TrainState.create(opt, variables)
+    state_s, g_losses_s, _ = g_single(state_s, batch, rng, extra)
+    state_s, d_losses_s = d_single(state_s, batch, rng, extra)
+
+    mesh = make_mesh("data:-1", jax.devices()[:8])
+    model_m, g_multi, d_multi = make_train_steps(opt, mesh=mesh)
+    # same init: param trees are identical pytrees regardless of mesh
+    state_m = TrainState.create(opt, variables)
+    state_m, g_losses_m, _ = g_multi(state_m, batch, rng, extra)
+    state_m, d_losses_m = d_multi(state_m, batch, rng, extra)
+
+    # losses: the sharded path folds a per-shard rng, so VAE-free configs
+    # must agree to float tolerance
+    for k in g_losses_s:
+        np.testing.assert_allclose(
+            float(g_losses_s[k]), float(g_losses_m[k]), rtol=5e-3, atol=5e-4,
+            err_msg=f"G loss {k} diverges between 1-dev and 8-dev",
+        )
+    for k in d_losses_s:
+        np.testing.assert_allclose(
+            float(d_losses_s[k]), float(d_losses_m[k]), rtol=5e-3, atol=5e-4,
+            err_msg=f"D loss {k} diverges",
+        )
+
+    # updated generator params must match closely (Adam amplifies tiny grad
+    # diffs by design; tolerance reflects fp32 reduction-order noise)
+    pa = jax.tree_util.tree_leaves(state_s.variables["netG"]["params"])
+    pb = jax.tree_util.tree_leaves(state_m.variables["netG"]["params"])
+    worst = max(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(pa, pb)
+    )
+    assert worst < 5e-4, f"params diverge: max abs {worst}"
+
+    # BN running stats identical (psum of shard sums == full-batch sums)
+    sa = jax.tree_util.tree_leaves(state_s.variables["netG"]["batch_stats"])
+    sb = jax.tree_util.tree_leaves(state_m.variables["netG"]["batch_stats"])
+    for a, b in zip(sa, sb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

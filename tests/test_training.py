@@ -70,8 +70,8 @@ def test_unpair_step2_config():
     assert state.opt_d2_state is not None
 
 
-def test_no_ig_config():
-    opt = tiny_opt(use_ig=False)
+def test_no_ig_remat_config():
+    opt = tiny_opt(use_ig=False, remat=True)
     run_one_gd(opt)
 
 
