@@ -42,7 +42,8 @@ def main():
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
         random_expand_mask=(mode == "train"),
         remat=(mode == "train"),  # 512^2 bs8 training OOMs without it (18.5G>15.75G)
-        num_upsampling_layers="more", dtype=dtype, donate_buffers=False,
+        num_upsampling_layers="more", dtype=dtype,
+        donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
     model = MichiGANModel(opt)
 

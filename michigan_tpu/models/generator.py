@@ -124,7 +124,8 @@ class SPADEBGenerator(nn.Module):
             if getattr(opt, "remat", False) and train:
                 # rematerialize each SPADE block's activations in the
                 # backward pass (HBM for FLOPs; SURVEY §7 hard-parts)
-                cls = nn.remat(SPADEResnetBlock, static_argnums=(2,))
+                # flax remat argnums count `self` as position 0
+                cls = nn.remat(SPADEResnetBlock, static_argnums=(3,))
             return cls(fin, fout, opt, self.axis_name, name=name)
 
         def composite(xx, i):

@@ -1,0 +1,45 @@
+"""Spatial activation sharding — the image-GAN analog of sequence
+parallelism (SURVEY §5.7: an optional stretch beyond the reference, which
+only scales spatially by the normal/more/most switch).
+
+For 1024^2 ('most') generation a single chip runs out of HBM headroom; here
+the H dimension of every activation is sharded over a ('space',) mesh axis
+and XLA's SPMD partitioner (GSPMD) inserts the halo exchanges for the 3x3
+convolutions automatically — the TPU-native alternative to hand-written
+ring/halo code.  Params stay replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SPACE_AXIS = "space"
+
+
+def make_spatial_infer(model, mesh: Mesh):
+    """jit-compiled `infer(variables, batch)` with batch activations sharded
+    along H over `mesh`'s 'space' axis.  Batch arrays are NHWC; every entry
+    is sharded P(None, 'space'); variables are replicated."""
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(None, SPACE_AXIS))
+
+    def infer(variables, batch):
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, row) for k, v in batch.items()
+        }
+        out, orient_rgb = model.infer(variables, batch)
+        return out, orient_rgb
+
+    return jax.jit(
+        infer,
+        in_shardings=(rep, {k: row for k in (
+            "label_ref", "label_tag", "image_ref", "image_tag", "orient",
+            "hole", "orient_rgb", "noise",
+        )}),
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    row = NamedSharding(mesh, P(None, SPACE_AXIS))
+    return {k: jax.device_put(v, row) for k, v in batch.items()}
