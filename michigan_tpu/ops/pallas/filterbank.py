@@ -8,6 +8,13 @@ registers — only the 2 reduced channels ever reach HBM.
 
 Falls back to the XLA path when the plane exceeds the VMEM budget (e.g.
 1024^2 inputs), where tiled-HBM streaming would be needed.
+
+KNOWN LIMITATION: on the current Mosaic compiler the halo row offsets
+(j*th + dy, dy in 0..16) are not provably 8-sublane-aligned and the kernel
+fails to compile on real TPU ("cannot statically prove that index in
+dimension 1 is a multiple of 8"); compiled-TPU execution therefore routes
+to the XLA path until the loads are restructured into aligned superblocks.
+Interpret-mode correctness is tested (tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations
@@ -18,7 +25,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from michigan_tpu.ops.filters import KERNEL_SIZE, NUM_KERNELS, dog_bank, gabor_bank
+from michigan_tpu.ops.filters import (
+    KERNEL_SIZE,
+    NUM_KERNELS,
+    _dog_bank_np,
+    _gabor_bank_np,
+)
 
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
@@ -33,15 +45,18 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
     Matches ops.filters.orientation_response (same clamp-then-argmax,
     first-index tie-break).
     """
-    bank = gabor_bank() if mode == "gabor" else dog_bank()
-    kmat = jnp.asarray(np.asarray(bank)[:, :, 0, :].reshape(-1, NUM_KERNELS))
+    # numpy bank (the jnp variant would be a tracer under jit)
+    bank = _gabor_bank_np() if mode == "gabor" else _dog_bank_np()
+    kmat = jnp.asarray(bank[:, :, 0, :].reshape(-1, NUM_KERNELS))
     n, h, w = gray.shape[0], gray.shape[1], gray.shape[2]
     pad = KERNEL_SIZE // 2
 
     th = min(tile_h, h)
     h_pad = ((h + th - 1) // th) * th
     plane_bytes = (h_pad + 2 * pad) * (w + 2 * pad) * 4
-    if plane_bytes > VMEM_BUDGET_BYTES:
+    if plane_bytes > VMEM_BUDGET_BYTES or not _interpret():
+        # compiled-TPU path blocked on Mosaic sublane alignment (see module
+        # docstring) — XLA's conv+argmax is used there
         from michigan_tpu.ops.filters import orientation_response
 
         idx, conf = orientation_response(gray, mode)
@@ -52,11 +67,12 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
 
     def kernel(x_ref, k_ref, idx_ref, conf_ref):
         def body(j, _):
-            x0 = x_ref[0]
             resp = jnp.zeros((th, w, NUM_KERNELS), jnp.float32)
             for dy in range(KERNEL_SIZE):
                 for dx in range(KERNEL_SIZE):
-                    tap = jax.lax.dynamic_slice(x0, (j * th + dy, dx), (th, w))
+                    # slice the ref directly (mosaic lowers pl.ds on refs,
+                    # not lax.dynamic_slice on loaded values)
+                    tap = x_ref[0, pl.ds(j * th + dy, th), dx : dx + w]
                     wgt = k_ref[dy * KERNEL_SIZE + dx, :]
                     resp = resp + tap[:, :, None] * wgt[None, None, :]
             resp = jnp.maximum(resp, 0.0)

@@ -64,6 +64,17 @@ def fused_instance_norm(
     hw = h * w
     cb = min(128, ((c + 127) // 128) * 128)
     c_pad = ((c + cb - 1) // cb) * cb
+
+    # VMEM budget: the (hw, cb) block is resident ~3x (in, out, temps);
+    # larger planes belong to the XLA path (measured faster only below this)
+    if hw * cb * 4 > 5 * 1024 * 1024:
+        from michigan_tpu.ops.norms import instance_norm
+
+        y = instance_norm(x, eps)
+        if gamma is not None:
+            y = y * (1.0 + gamma) + beta
+        return y
+
     xf = x.reshape(n, hw, c)
     if c_pad != c:
         xf = jnp.pad(xf, ((0, 0), (0, 0), (0, c_pad - c)))
