@@ -9,12 +9,14 @@ registers — only the 2 reduced channels ever reach HBM.
 Falls back to the XLA path when the plane exceeds the VMEM budget (e.g.
 1024^2 inputs), where tiled-HBM streaming would be needed.
 
-KNOWN LIMITATION: on the current Mosaic compiler the halo row offsets
-(j*th + dy, dy in 0..16) are not provably 8-sublane-aligned and the kernel
-fails to compile on real TPU ("cannot statically prove that index in
-dimension 1 is a multiple of 8"); compiled-TPU execution therefore routes
-to the XLA path until the loads are restructured into aligned superblocks.
-Interpret-mode correctness is tested (tests/test_pallas_kernels.py).
+KNOWN LIMITATION: the current Mosaic compiler rejects two formulations of
+this kernel — unaligned halo row loads ("cannot statically prove that index
+in dimension 1 is a multiple of 8"; fixed by the aligned-superblock loads
+below) and the (th,w)->(th,w,1) rank-expansion reshape feeding the
+broadcast accumulate (tpu.reshape layout unsupported).  Compiled-TPU
+execution therefore routes to the XLA conv+argmax path (`force=True`
+attempts the kernel anyway); interpret-mode correctness is tested
+(tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations
@@ -39,7 +41,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 64):
+def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 64,
+                           force: bool = False):
     """(N,H,W,1) gray -> (idx int32 (N,H,W), raw max response (N,H,W)).
 
     Matches ops.filters.orientation_response (same clamp-then-argmax,
@@ -54,7 +57,7 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
     th = min(tile_h, h)
     h_pad = ((h + th - 1) // th) * th
     plane_bytes = (h_pad + 2 * pad) * (w + 2 * pad) * 4
-    if plane_bytes > VMEM_BUDGET_BYTES or not _interpret():
+    if plane_bytes > VMEM_BUDGET_BYTES or (not _interpret() and not force):
         # compiled-TPU path blocked on Mosaic sublane alignment (see module
         # docstring) — XLA's conv+argmax is used there
         from michigan_tpu.ops.filters import orientation_response
@@ -65,14 +68,18 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
     x = jnp.pad(gray[..., 0], ((0, 0), (pad, pad + h_pad - h), (pad, pad)))
     # note: bottom padding rows only feed discarded tile outputs
 
+    blk_rows = th + 2 * pad  # 8-aligned when th is (pad=8)
+
     def kernel(x_ref, k_ref, idx_ref, conf_ref):
         def body(j, _):
+            # one aligned superblock load per tile (dynamic start j*th is a
+            # multiple of the sublane count); halo offsets become static
+            # value slices, which Mosaic can lower
+            blk = x_ref[0, pl.ds(j * th, blk_rows), :]
             resp = jnp.zeros((th, w, NUM_KERNELS), jnp.float32)
             for dy in range(KERNEL_SIZE):
                 for dx in range(KERNEL_SIZE):
-                    # slice the ref directly (mosaic lowers pl.ds on refs,
-                    # not lax.dynamic_slice on loaded values)
-                    tap = x_ref[0, pl.ds(j * th + dy, th), dx : dx + w]
+                    tap = jax.lax.slice(blk, (dy, dx), (dy + th, dx + w))
                     wgt = k_ref[dy * KERNEL_SIZE + dx, :]
                     resp = resp + tap[:, :, None] * wgt[None, None, :]
             resp = jnp.maximum(resp, 0.0)

@@ -58,6 +58,7 @@ def make_gen_inputs(opt, rng, n=1):
     {"use_ig": False},                      # raw orient decode path
     {"use_encoder": False, "use_vae": False},  # conv-seed path
     {"Image_encoder_mode": "instance"},
+    {"Image_encoder_mode": "norm"},
     {"num_upsampling_layers": "more", "crop_size": 128, "load_size": 128},
 ])
 def test_generator_parity(cfg, rng):
