@@ -316,7 +316,29 @@ def _parse(defaults: Options, argv: Optional[List[str]] = None) -> Options:
     _add_flags(parser, defaults)
     ns, _unknown = parser.parse_known_args(argv)
     opt = dataclasses.replace(defaults, **{k: v for k, v in vars(ns).items()})
-    return opt.finalize()
+    opt = opt.finalize()
+    if opt.load_from_opt_file:
+        # reference base_options.py:199-210: saved experiment options become
+        # the defaults, then CLI flags re-apply on top
+        path = os.path.join(opt.checkpoints_dir, opt.name, "opt.json")
+        loaded = Options.load(path)
+        loaded.isTrain = defaults.isTrain
+        # re-apply only flags explicitly present on the command line
+        explicit = _explicit_flags(argv)
+        for k, v in vars(ns).items():
+            if k in explicit:
+                setattr(loaded, k, v)
+        return loaded.finalize()
+    return opt
+
+
+def _explicit_flags(argv: Optional[List[str]]) -> set:
+    args = argv if argv is not None else sys.argv[1:]
+    out = set()
+    for a in args:
+        if a.startswith("--"):
+            out.add(a[2:].split("=")[0])
+    return out
 
 
 def train_options(argv: Optional[List[str]] = None) -> Options:

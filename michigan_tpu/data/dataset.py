@@ -175,33 +175,59 @@ class PrefetchLoader:
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-worker ordered prefetch: N threads assemble batches from a
+        shared work queue; results are emitted in batch order (deterministic
+        given the epoch seed, matching the single-worker stream)."""
         batches = self._batches()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        n_batches = len(batches)
+        work: queue.Queue = queue.Queue()
+        for bi, batch_idx in enumerate(batches):
+            work.put((bi, batch_idx))
+        done: Dict[int, Dict[str, np.ndarray]] = {}
+        done_lock = threading.Condition()
         stop = threading.Event()
+        window = max(self.prefetch, self.num_workers)
 
         def worker():
-            for bi, batch_idx in enumerate(batches):
-                if stop.is_set():
+            while not stop.is_set():
+                try:
+                    bi, batch_idx = work.get_nowait()
+                except queue.Empty:
                     return
                 rng = random.Random((self.seed, self.epoch, bi).__hash__())
                 samples = [self.dataset.get_sample(i, rng) for i in batch_idx]
                 stacked = {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
-                q.put(stacked)
-            q.put(None)
+                with done_lock:
+                    # bounded reorder buffer: don't run too far ahead
+                    while (
+                        not stop.is_set()
+                        and len(done) >= window
+                        and min(done) + window <= bi
+                    ):
+                        done_lock.wait(timeout=0.5)
+                    done[bi] = stacked
+                    done_lock.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+            for bi in range(n_batches):
+                with done_lock:
+                    while bi not in done:
+                        done_lock.wait(timeout=0.5)
+                    item = done.pop(bi)
+                    done_lock.notify_all()
                 yield item
         finally:
             stop.set()
+            with done_lock:
+                done_lock.notify_all()
         self.epoch += 1
 
 

@@ -34,6 +34,9 @@ def main(argv=None):
     opt = train_options(argv)
     print(" ".join(sys.argv))
 
+    # persist the experiment options (reference base_options.py:186-197)
+    opt.save(os.path.join(opt.checkpoints_dir, opt.name, "opt.json"))
+
     if opt.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
