@@ -46,7 +46,8 @@ def main():
         crop_size=512, load_size=512, netG="spadeb", use_encoder=True,
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
         random_expand_mask=(mode == "train"),
-        remat=(mode == "train"),  # 512^2 bs8 training OOMs without it (18.5G>15.75G)
+        # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G)
+        remat=(mode == "train" and os.environ.get("BENCH_REMAT", "1") == "1"),
         num_upsampling_layers="more", dtype=dtype,
         donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
