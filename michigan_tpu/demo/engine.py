@@ -50,7 +50,8 @@ def dilate_hole(stroke_mask: np.ndarray, k: int = 50) -> np.ndarray:
 class DemoEngine:
     """Holds config + model + variables + the compiled inference fn."""
 
-    def __init__(self, opt, variables=None, rng_seed: int = 0):
+    def __init__(self, opt, variables=None, rng_seed: int = 0,
+                 precompile: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -71,6 +72,13 @@ class DemoEngine:
                 variables = restored
             variables = CK.load_pretrained_torch(opt, variables)
         self.variables = variables
+        if precompile:
+            # compile the edit path(s) up front so the first user edit hits
+            # the <100ms steady-state latency (23.5ms device-side on v5e)
+            dummy = self._dummy_batch()
+            modes = ["ref"] + (["stroke"] if self.opt.use_stroke else [])
+            for m in modes:
+                self._get_infer(m)(self.variables, dummy)
 
     def _dummy_batch(self):
         jnp = self._jnp

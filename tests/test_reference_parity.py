@@ -60,6 +60,9 @@ def make_gen_inputs(opt, rng, n=1):
     {"Image_encoder_mode": "instance"},
     {"Image_encoder_mode": "norm"},
     {"num_upsampling_layers": "more", "crop_size": 128, "load_size": 128},
+    {"bf_direct_add": True},
+    {"use_clip": True, "clip_th": 0.5},
+    {"orient_random_disturb": True},
 ])
 def test_generator_parity(cfg, rng):
     """Training-mode forward (batch-stat BN): with random weights, eval-mode
@@ -70,6 +73,7 @@ def test_generator_parity(cfg, rng):
     checkpoints when available."""
     opt = base_opt(**cfg)
     topt = torch_opt(opt)
+    torch.manual_seed(0)  # order-independent reference weights
     ref_net = REF.generator.SPADEBGenerator(topt)
     ref_net.train()
 
@@ -103,6 +107,7 @@ def test_generator_parity(cfg, rng):
 def test_inpaint_generator_parity(rng):
     opt = base_opt()
     topt = torch_opt(opt)
+    torch.manual_seed(0)
     ref_net = REF.generator.InpaintGenerator(topt)
     ref_net.eval()
     variables = CV.convert_inpaint(ref_net.state_dict())
@@ -118,6 +123,7 @@ def test_inpaint_generator_parity(rng):
 def test_sinpaint_generator_parity(rng):
     opt = base_opt()
     topt = torch_opt(opt)
+    torch.manual_seed(0)
     ref_net = REF.generator.SInpaintGenerator(topt)
     ref_net.eval()
     variables = CV.convert_inpaint(ref_net.state_dict())
@@ -133,6 +139,7 @@ def test_sinpaint_generator_parity(rng):
 def test_discriminator_parity(rng):
     opt = base_opt(isTrain=True)
     topt = torch_opt(opt)
+    torch.manual_seed(0)
     ref_net = REF.discriminator.MultiscaleDiscriminator(topt)
     ref_net.eval()
     variables = CV.convert_discriminator(ref_net.state_dict(), opt)
@@ -154,6 +161,7 @@ def test_discriminator_parity(rng):
 def test_vae_encoder_parity(rng):
     opt = base_opt(use_vae=True, crop_size=256, load_size=256)
     topt = torch_opt(opt)
+    torch.manual_seed(0)
     ref_net = REF.encoder.ConvEncoder(topt)
     ref_net.eval()
     variables = CV.convert_vae_encoder(ref_net.state_dict(), opt)
