@@ -1,4 +1,10 @@
-"""Single-image inference CLI (reference inference.py).
+"""Single-image and batched inference CLI (reference inference.py).
+
+`--batch_inference` extends the reference (which only ships single-image
+inference): renders every name in --val_list_dir (up to --how_many) through
+the jit-compiled pipeline in batches of --batchSize into --results_dir,
+ready for evaluate.py's FID pass.
+
 
 Usage matches the reference README:
   python inference.py --name MichiGAN --gpu_ids 0 --inference_ref_name 67172 \
@@ -21,6 +27,51 @@ import sys
 import numpy as np
 
 
+def batch_inference(opt, model, variables, rng):
+    """Render the validation list in batches (beyond-reference capability)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.data.single import single_inference_data
+    from michigan_tpu.utils.imaging import save_image, tensor2im
+
+    names = [
+        l.strip() for l in open(opt.val_list_dir) if l.strip()
+    ][: opt.how_many]
+    infer = jax.jit(lambda v, b: model.infer(v, b, rng=rng)[0])
+    os.makedirs(opt.results_dir, exist_ok=True)
+    bs = opt.batchSize
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        samples = []
+        for name in chunk:
+            o = dataclasses.replace(
+                opt, inference_ref_name=name, inference_tag_name=name,
+                inference_orient_name=name,
+            )
+            samples.append(single_inference_data(o))
+        batch = {
+            k: jnp.asarray(np.concatenate([s[k] for s in samples]))
+            for k in samples[0]
+            if isinstance(samples[0][k], np.ndarray) and samples[0][k].ndim >= 3
+        }
+        if len(chunk) < bs:  # pad the tail to the compiled batch shape
+            padn = bs - len(chunk)
+            batch = {
+                k: jnp.concatenate([v] + [v[-1:]] * padn) for k, v in batch.items()
+            }
+        out = np.asarray(infer(variables, batch))
+        r = opt.add_th // 2 if opt.add_feat_zeros else 0
+        for j, name in enumerate(chunk):
+            img = out[j]
+            if r:
+                img = img[r : r + opt.crop_size, r : r + opt.crop_size]
+            save_image(tensor2im(img), os.path.join(opt.results_dir, name + ".jpg"))
+        print(f"rendered {min(i + bs, len(names))}/{len(names)}")
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -31,7 +82,13 @@ def main(argv=None):
     from michigan_tpu.training import checkpoint as CK
     from michigan_tpu.utils.imaging import crop_feat_pad, save_image, tensor2im
 
-    opt = test_options(argv)
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--batch_inference", action="store_true")
+    pre_args, rest = pre.parse_known_args(argv)
+
+    opt = test_options(rest)
     model = MichiGANModel(opt)
 
     data = single_inference_data(opt)
@@ -47,6 +104,10 @@ def main(argv=None):
         variables = restored
         print(f"restored Orbax checkpoint epoch {opt.which_epoch}")
     variables = CK.load_pretrained_torch(opt, variables)
+
+    if pre_args.batch_inference:
+        batch_inference(opt, model, variables, rng)
+        return
 
     infer = jax.jit(lambda v, b: model.infer(v, b, rng=rng))
     generated, _orient = infer(variables, batch)
