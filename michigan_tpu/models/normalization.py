@@ -16,9 +16,27 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from michigan_tpu.models.layers import TorchConv
+from michigan_tpu.models.layers import TorchConv, xavier_init, _conv
 from michigan_tpu.ops.norms import batch_norm_eval, batch_norm_train, instance_norm
 from michigan_tpu.ops.resize import resize_nearest
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder with TorchConv-compatible naming; lets SPADE fuse the
+    gamma and beta convolutions into one kernel-concatenated conv without
+    changing the checkpoint tree."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.param(
+            "kernel", xavier_init(0.02),
+            (self.kernel_size, self.kernel_size, in_ch, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 def parse_spade_config(config_text: str):
@@ -99,8 +117,18 @@ class SPADE(nn.Module):
         actv = jax.nn.relu(
             TorchConv(self.nhidden, ks, padding=pw, name="mlp_shared_0")(seg, train)
         )
-        gamma = TorchConv(self.norm_nc, ks, padding=pw, name="mlp_gamma")(actv, train)
-        beta = TorchConv(self.norm_nc, ks, padding=pw, name="mlp_beta")(actv, train)
+        # gamma and beta read the same activation — run them as ONE conv with
+        # concatenated output channels (numerically identical; doubles MXU
+        # lane utilization when norm_nc < 128 and halves actv HBM reads)
+        gk, gb = _ConvParams(self.norm_nc, ks, name="mlp_gamma")(self.nhidden)
+        bk, bb = _ConvParams(self.norm_nc, ks, name="mlp_beta")(self.nhidden)
+        kernel = jnp.concatenate([gk, bk], axis=-1)
+        bias = jnp.concatenate([gb, bb])
+        gb_out = _conv(actv, kernel, 1, ((pw, pw), (pw, pw))) + bias.astype(
+            actv.dtype
+        )
+        gamma = gb_out[..., : self.norm_nc]
+        beta = gb_out[..., self.norm_nc :]
         return normalized * (1.0 + gamma) + beta
 
 
