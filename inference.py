@@ -22,7 +22,6 @@ runs the jit-compiled inference function, writes
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import os
 import queue
 import random
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 from PIL import Image

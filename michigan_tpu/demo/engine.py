@@ -12,7 +12,6 @@ reuse the compiled executable (the <100 ms interactive target).
 from __future__ import annotations
 
 import math
-import os
 import time
 from typing import Dict, Optional
 

@@ -14,8 +14,8 @@ import sys
 import numpy as np
 from PIL import Image
 
-from PyQt5.QtCore import Qt, QPoint
-from PyQt5.QtGui import QImage, QPainter, QPen, QPixmap
+from PyQt5.QtCore import Qt
+from PyQt5.QtGui import QImage, QPen, QPixmap
 from PyQt5.QtWidgets import (
     QApplication,
     QFileDialog,

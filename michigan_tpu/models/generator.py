@@ -33,7 +33,7 @@ from michigan_tpu.models.encoders import (
 )
 from michigan_tpu.models.layers import TorchConv, TorchLinear
 from michigan_tpu.ops.masks import wide_edges_outer
-from michigan_tpu.ops.resize import resize_bilinear, resize_nearest, upsample2x_nearest
+from michigan_tpu.ops.resize import resize_nearest, upsample2x_nearest
 
 
 def orient_to_two_channel(orient255: jax.Array, hair_mask: jax.Array) -> jax.Array:

@@ -9,8 +9,6 @@ so the capability surface is complete.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -8,10 +8,8 @@ netD (netD2 for the unpair stage); TTUR uses betas (0, 0.9) and lr/2 / lr*2.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -10,11 +10,7 @@ identically on every shard.  Buffers are donated so params update in place.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
@@ -23,7 +19,6 @@ from michigan_tpu.model import MichiGANModel
 from michigan_tpu.parallel.mesh import DATA_AXIS
 from michigan_tpu.training.state import (
     TrainState,
-    d_net_names,
     g_net_names,
     make_optimizers,
 )
