@@ -55,6 +55,7 @@ class Visualizer:
         self.log_dir = os.path.join(opt.checkpoints_dir, opt.name)
         os.makedirs(self.log_dir, exist_ok=True)
         self.log_name = os.path.join(self.log_dir, "loss_log.txt")
+        self.scalar_log = os.path.join(self.log_dir, "scalars.jsonl")
         self.use_html = opt.isTrain and not opt.no_html
         if self.use_html:
             self.web_dir = os.path.join(self.log_dir, "web")
@@ -72,7 +73,15 @@ class Visualizer:
             f.write(message + "\n")
 
     def plot_current_errors(self, errors: Dict, step: int):
-        pass  # scalar dashboards come from the loss_log; no TF dependency
+        """Machine-readable scalar stream (replaces the reference's optional
+        TF-1 summary writer behind --tf_log, visualizer.py:47-65): one JSON
+        object per print, consumable by any dashboard."""
+        import json
+
+        rec = {"step": int(step)}
+        rec.update({k: float(np.mean(np.asarray(v))) for k, v in errors.items()})
+        with open(self.scalar_log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def display_current_results(self, visuals: Dict, epoch: int, step: int):
         if not self.use_html:

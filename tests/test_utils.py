@@ -1,0 +1,61 @@
+"""Observability utilities: visualizer logs + iteration counter triggers."""
+
+import json
+import os
+
+import numpy as np
+
+from michigan_tpu.config import Options
+from michigan_tpu.utils.iter_counter import IterationCounter
+from michigan_tpu.utils.visualizer import Visualizer
+from michigan_tpu.utils.imaging import tensor2im, crop_feat_pad
+
+
+def test_visualizer_logs(tmp_path):
+    opt = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="viz",
+                  no_html=False, display_winsize=64, label_nc=2).finalize()
+    viz = Visualizer(opt)
+    losses = {"GAN": np.float32(0.5), "rgb": np.float32(1.25)}
+    viz.print_current_errors(1, 4, losses, 0.1)
+    viz.plot_current_errors(losses, step=4)
+    log = open(os.path.join(tmp_path, "viz", "loss_log.txt")).read()
+    assert "GAN: 0.500" in log and "rgb: 1.250" in log
+    rec = json.loads(open(os.path.join(tmp_path, "viz", "scalars.jsonl")).read())
+    assert rec == {"step": 4, "GAN": 0.5, "rgb": 1.25}
+
+    visuals = {
+        "synthesized_image": np.zeros((8, 8, 3), np.float32),
+        "input_tag": np.ones((8, 8, 1), np.float32),
+    }
+    viz.display_current_results(visuals, epoch=1, step=4)
+    assert os.path.exists(os.path.join(tmp_path, "viz", "web", "index.html"))
+
+
+def test_iteration_counter_triggers_and_resume(tmp_path):
+    opt = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="ic",
+                  batchSize=4, niter=2, niter_decay=1, print_freq=8,
+                  display_freq=16, save_latest_freq=16).finalize()
+    ic = IterationCounter(opt, dataset_size=16)
+    assert list(ic.training_epochs()) == [1, 2, 3]
+    ic.record_epoch_start(1)
+    prints = 0
+    for _ in range(4):
+        ic.record_one_iteration()
+        if ic.needs_printing():
+            prints += 1
+    assert prints == 2  # every 8 images at batch 4
+    ic.record_current_iter()
+    # resume path
+    opt2 = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="ic",
+                   batchSize=4, niter=2, niter_decay=1,
+                   continue_train=True).finalize()
+    ic2 = IterationCounter(opt2, dataset_size=16)
+    assert ic2.first_epoch == 1 and ic2.epoch_iter == 16
+
+
+def test_imaging_helpers():
+    x = np.zeros((4, 4, 3), np.float32)
+    img = tensor2im(x)
+    assert img.dtype == np.uint8 and img[0, 0, 0] == 127
+    padded = np.pad(np.ones((4, 4, 3)), ((2, 2), (2, 2), (0, 0)))
+    assert crop_feat_pad(padded, 4, 4).shape == (4, 4, 3)

@@ -65,6 +65,11 @@ def main(argv=None):
     first_batch = next(iter(dataloader))
     batch0 = {k: jnp.asarray(v) for k, v in first_batch.items()}
     variables = model.init_variables(rng, batch0)
+    if opt.unpairTrain and opt.same_netD_model and "netD2" in variables:
+        # initialize netD2 from netD (reference --same_netD_model,
+        # train_options.py:40 / util.load_network D2 logic)
+        variables = dict(variables)
+        variables["netD2"] = jax.tree_util.tree_map(lambda a: a, variables["netD"])
     state = TrainState.create(opt, variables)
     if opt.continue_train:
         restored = CK.load_checkpoint(opt, opt.which_epoch)
