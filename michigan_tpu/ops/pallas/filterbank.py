@@ -48,9 +48,10 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
     Matches ops.filters.orientation_response (same clamp-then-argmax,
     first-index tie-break).
     """
-    # numpy bank (the jnp variant would be a tracer under jit)
+    # numpy bank (the jnp variant would be a tracer under jit), laid out
+    # (orientation, tap) to match the kernel's leading-axis accumulation
     bank = _gabor_bank_np() if mode == "gabor" else _dog_bank_np()
-    kmat = jnp.asarray(bank[:, :, 0, :].reshape(-1, NUM_KERNELS))
+    kmat = jnp.asarray(bank[:, :, 0, :].reshape(-1, NUM_KERNELS).T.copy())
     n, h, w = gray.shape[0], gray.shape[1], gray.shape[2]
     pad = KERNEL_SIZE // 2
 
@@ -74,17 +75,19 @@ def filterbank_orientation(gray: jax.Array, mode: str = "gabor", tile_h: int = 6
         def body(j, _):
             # one aligned superblock load per tile (dynamic start j*th is a
             # multiple of the sublane count); halo offsets become static
-            # value slices, which Mosaic can lower
+            # value slices, which Mosaic can lower.  The response carries the
+            # orientation index on the LEADING axis — trailing-axis rank
+            # expansion is unsupported by this Mosaic version.
             blk = x_ref[0, pl.ds(j * th, blk_rows), :]
-            resp = jnp.zeros((th, w, NUM_KERNELS), jnp.float32)
+            resp = jnp.zeros((NUM_KERNELS, th, w), jnp.float32)
             for dy in range(KERNEL_SIZE):
                 for dx in range(KERNEL_SIZE):
                     tap = jax.lax.slice(blk, (dy, dx), (dy + th, dx + w))
-                    wgt = k_ref[dy * KERNEL_SIZE + dx, :]
-                    resp = resp + tap[:, :, None] * wgt[None, None, :]
+                    wgt = k_ref[:, dy * KERNEL_SIZE + dx]  # (NUM,)
+                    resp = resp + wgt[:, None, None] * tap[None, :, :]
             resp = jnp.maximum(resp, 0.0)
-            idx_ref[0, pl.ds(j * th, th), :] = jnp.argmax(resp, -1).astype(jnp.int32)
-            conf_ref[0, pl.ds(j * th, th), :] = jnp.max(resp, -1)
+            idx_ref[0, pl.ds(j * th, th), :] = jnp.argmax(resp, 0).astype(jnp.int32)
+            conf_ref[0, pl.ds(j * th, th), :] = jnp.max(resp, 0)
             return 0
 
         jax.lax.fori_loop(0, h_pad // th, body, 0)
