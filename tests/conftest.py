@@ -14,25 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# persistent compile cache, keyed by host CPU features: the container can
-# land on different physical hosts across sessions, and XLA:CPU AOT
-# artifacts from a host with different vector extensions SIGABRT on load
-import hashlib
-
-
-def _cpu_key() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    return "generic"
-
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_{_cpu_key()}")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# NOTE: no persistent compilation cache here.  Two failure modes were
+# observed with one: (a) the container migrates across physical hosts and
+# XLA:CPU AOT artifacts built for different vector extensions SIGABRT on
+# load; (b) a killed process leaves a truncated cache entry that aborts the
+# reader inside extract_executable_and_time.  In-process jit caching still
+# applies; the full suite costs ~25 min cold either way.
 
 import jax  # noqa: E402
 
