@@ -11,9 +11,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_max_isa" not in flags:
+    # the container migrates across hosts mid-session; on some hosts the
+    # XLA:CPU AVX-512 codegen aborts compiling large programs ("Fatal
+    # Python error: Aborted" in backend_compile) — AVX2 is stable everywhere
+    flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags.strip()
 # NOTE: no persistent compilation cache here.  Two failure modes were
 # observed with one: (a) the container migrates across physical hosts and
 # XLA:CPU AOT artifacts built for different vector extensions SIGABRT on
