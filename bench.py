@@ -33,7 +33,7 @@ def main():
 
     mode = os.environ.get("BENCH_MODE", "infer")
     batch_size = int(os.environ.get("BENCH_BATCH", "8" if mode == "train" else "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", str(Options().bench_iters)))
     # bf16 activations win at every batch size (bs8: 76.7 vs 68.6 img/s;
     # bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at default XLA
     # precision; training defaults to fp32 pending a quality run
@@ -49,6 +49,8 @@ def main():
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G)
         remat=(mode == "train" and os.environ.get("BENCH_REMAT", "1") == "1"),
         num_upsampling_layers="more", dtype=dtype,
+        # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
     model = MichiGANModel(opt)

@@ -51,10 +51,18 @@ def _vgg_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    from michigan_tpu.models.vgg import VGG19
+    from michigan_tpu.models.vgg import VGG19, load_vgg19_variables
 
     vgg = VGG19()
-    variables = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables, pretrained = load_vgg19_variables(
+        jax.random.PRNGKey(0), context="evaluate.py FID"
+    )
+    if not pretrained:
+        print(
+            "WARNING: FID is computed on a RANDOM VGG backbone — the numbers "
+            "are NOT comparable to the PyTorch reference or to any published "
+            "FID. Provide vgg19 weights (see michigan_tpu/models/vgg.py)."
+        )
 
     @jax.jit
     def feats(x):

@@ -233,6 +233,22 @@ class Options:
     semantic_nc: int = 2
     num_gpus: int = 1
 
+    # Flags accepted for reference-CLI compatibility but intentionally
+    # without effect.  tests/test_cli_options.py asserts this list is the
+    # EXACT set of unread flags, so a newly-dead flag can't appear silently.
+    KNOWN_NOOP_FLAGS = frozenset({
+        # dead in the reference itself: defined in options/*.py, read nowhere
+        "add_noise_to_image", "use_original_image", "dataroot", "norm_model",
+        "ms_step", "batch_sizes", "alpha_value", "show_feat_maps", "debug",
+        "optimizer", "smooth", "epoch_each_step", "source_dir", "source_file",
+        "four_image_show", "which_settings", "which_random", "input_relation",
+        "phase",
+        # meaningful in the reference, intentionally inert here (documented)
+        "tf_log",        # scalar JSONL stream is always on (visualizer.py)
+        "instance_dir",  # --no_instance defaults True in both; instance maps
+                         # were never exercised by the shipped MichiGAN configs
+    })
+
     def finalize(self) -> "Options":
         """Derived values; mirrors reference base_options.py:212-242."""
         self.semantic_nc = (

@@ -63,6 +63,19 @@ class MichiGANModel:
 
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
         opt = self.opt
+        from michigan_tpu.models.layers import set_default_init_type
+
+        prev_type, prev_gain = set_default_init_type(
+            getattr(opt, "init_type", "xavier"),
+            getattr(opt, "init_variance", None),
+        )
+        try:
+            return self._init_variables(rng, batch)
+        finally:
+            set_default_init_type(prev_type, prev_gain)
+
+    def _init_variables(self, rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
+        opt = self.opt
         pre = self.preprocess(batch)
         keys = jax.random.split(rng, 8)
         out: Dict[str, Any] = {}
@@ -107,7 +120,12 @@ class MichiGANModel:
                 batch.get("instance", jnp.zeros_like(pre["image_tag"][..., :1])),
             )
         if self.vgg is not None:
-            out["vgg"] = self.vgg.init(keys[7], jnp.zeros((1, 64, 64, 3)))
+            from michigan_tpu.models.vgg import load_vgg19_variables
+
+            out["vgg"], self.vgg_pretrained = load_vgg19_variables(
+                keys[7], getattr(opt, "checkpoints_dir", "./checkpoints"),
+                context="training",
+            )
         return out
 
     # ------------------------------------------------------------------
@@ -272,10 +290,17 @@ class MichiGANModel:
         return orient
 
     def discriminate(self, variables, input_tag, fake_image, real_image, orient,
-                     train=False):
+                     train=False, curr_step=None):
         """Fake+real in ONE batch for consistent norm statistics
-        (pix2pix_model.py:562-574), then split."""
+        (pix2pix_model.py:562-574), then split.
+
+        `curr_step` is a trace-time Python constant: the caller (train_step)
+        compiles one program per unpair stage, so netD vs netD2 selection is
+        baked into each compiled function (reference pix2pix_trainer.py:61-77
+        re-dispatches eagerly each step)."""
         opt = self.opt
+        if curr_step is None:
+            curr_step = opt.curr_step
         orient_input = self._orient_input(orient, input_tag)
         fake_concat = jnp.concatenate([input_tag, orient_input, fake_image], axis=-1)
         real_concat = jnp.concatenate([input_tag, orient_input, real_image], axis=-1)
@@ -284,7 +309,7 @@ class MichiGANModel:
 
         net = self.netD
         dvars = variables["netD"]
-        if opt.unpairTrain and opt.curr_step == 2:
+        if opt.unpairTrain and curr_step == 2:
             net = self.netD2
             dvars = variables["netD2"]
         out = net.apply(dvars, fake_and_real, train=train)
@@ -311,10 +336,16 @@ class MichiGANModel:
 
     def generator_loss(
         self, variables, batch, rng, ab_count=None, extra_dilate_steps=None,
+        curr_step=None,
     ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], jax.Array, Dict]]:
-        """Total G loss + (loss dict, fake image, mutable-state updates)."""
+        """Total G loss + (loss dict, fake image, mutable-state updates).
+
+        `curr_step` (1=paired, 2=unpair) is a trace-time constant selecting
+        which loss terms exist in the compiled program — see discriminate()."""
         opt = self.opt
         assert opt.isTrain
+        if curr_step is None:
+            curr_step = opt.curr_step
         pre = self.preprocess(batch)
         losses: Dict[str, jax.Array] = {}
 
@@ -329,7 +360,7 @@ class MichiGANModel:
 
         pred_fake, pred_real = self.discriminate(
             variables, pre["input_tag"], out_img, pre["image_tag"], orient,
-            train=True,
+            train=True, curr_step=curr_step,
         )
         label_tag = pre["input_tag"][..., 1:2]
         label_ref = pre["input_ref"][..., 1:2]
@@ -350,13 +381,22 @@ class MichiGANModel:
             # its relu1 activations at 512^2 dominate HBM otherwise
             vgg_apply = jax.checkpoint(vgg_apply)
 
-        if opt.curr_step == 1:
+        if curr_step == 1:
             # one VGG forward per distinct image; fake/tag features shared
             # between the perceptual and style/content losses (the reference
             # recomputes them, pix2pix_model.py:301-315)
             f_fake = vgg_apply(out_img)
-            f_tag = [jax.lax.stop_gradient(t) for t in vgg_apply(pre["image_tag"])]
-            f_ref = [jax.lax.stop_gradient(t) for t in vgg_apply(pre["image_ref"])]
+            # tag+ref towers need no gradient: run them as ONE 2x-batch
+            # forward (fewer launch sequences, better MXU occupancy) and
+            # keep the differentiated fake tower at 1x batch
+            n_img = out_img.shape[0]
+            f_tr = vgg_apply(
+                jax.lax.stop_gradient(
+                    jnp.concatenate([pre["image_tag"], pre["image_ref"]], axis=0)
+                )
+            )
+            f_tag = [jax.lax.stop_gradient(t[:n_img]) for t in f_tr]
+            f_ref = [jax.lax.stop_gradient(t[n_img:]) for t in f_tr]
             if not opt.no_ganFeat_loss:
                 losses["GAN_Feat"] = ref_is_tag * L.gan_feat_loss(
                     pred_fake, pred_real, opt, label_tag
@@ -395,7 +435,7 @@ class MichiGANModel:
             if not opt.no_confidence_loss:
                 losses["CONFIDENCE"] = conf * opt.lambda_confidence
 
-        if opt.unpairTrain and opt.curr_step == 2:
+        if opt.unpairTrain and curr_step == 2:
             if opt.use_blender:
                 losses["hairAvgLab"] = L.hair_avg_lab_loss(
                     blend, jax.lax.stop_gradient(fake), label_tag, label_tag, opt,
@@ -414,9 +454,11 @@ class MichiGANModel:
         return total, (losses, fake, updates)
 
     def discriminator_loss(
-        self, variables, batch, rng, extra_dilate_steps=None
+        self, variables, batch, rng, extra_dilate_steps=None, curr_step=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         opt = self.opt
+        if curr_step is None:
+            curr_step = opt.curr_step
         pre = self.preprocess(batch)
         orient = self._orient_for_training(variables, pre)
         fake, _, blend, _ = self.generate_fake(
@@ -428,7 +470,7 @@ class MichiGANModel:
 
         pred_fake, pred_real = self.discriminate(
             variables, pre["input_tag"], out_img, pre["image_tag"], orient,
-            train=True,
+            train=True, curr_step=curr_step,
         )
         label_tag = pre["input_tag"][..., 1:2]
         d_fake = L.multiscale_gan_loss(pred_fake, False, True, opt, label_tag)

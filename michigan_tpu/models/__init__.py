@@ -35,6 +35,15 @@ def define_G(opt, axis_name=None):
 
 
 def define_D(opt, axis_name=None):
+    # the reference's MultiscaleDiscriminator builds its sub-discriminators
+    # by --netD_subarch reflection (discriminator.py:30-44); only 'n_layer'
+    # ships, so reject anything else loudly instead of ignoring the flag
+    sub = getattr(opt, "netD_subarch", "n_layer")
+    if opt.netD == "multiscale" and sub != "n_layer":
+        raise ValueError(
+            f"--netD_subarch '{sub}' is not implemented (only 'n_layer', "
+            "matching the reference's shipped subarchitectures)"
+        )
     return DISCRIMINATORS[opt.netD](opt=opt, axis_name=axis_name)
 
 

@@ -23,20 +23,69 @@ from michigan_tpu.ops.norms import spectral_normalize
 DEFAULT_PRECISION = None  # let XLA pick (bf16-friendly on MXU)
 
 
-def xavier_init(gain: float = 0.02):
-    """Reference init_weights 'xavier' with init_variance as gain
-    (base_network.py:28-59): std = gain * sqrt(2/(fan_in+fan_out))."""
+# Active --init_type for weight creation.  The reference walks every module
+# and re-initializes conv/linear weights by name (base_network.py:28-59);
+# here every conv/linear param calls weight_init(), which reads this
+# process-level default.  MichiGANModel.init_variables() sets it from
+# opt.init_type for the duration of initialization (init only ever happens
+# eagerly, never inside jit, so this is deterministic).
+_DEFAULT_INIT_TYPE = "xavier"
+_DEFAULT_INIT_GAIN: Optional[float] = None  # overrides per-layer gain (--init_variance)
+
+
+def set_default_init_type(init_type: str, gain: Optional[float] = None):
+    """Set the weight-init scheme (+ optional --init_variance gain override);
+    returns the previous (type, gain) for restoring."""
+    global _DEFAULT_INIT_TYPE, _DEFAULT_INIT_GAIN
+    prev = (_DEFAULT_INIT_TYPE, _DEFAULT_INIT_GAIN)
+    _DEFAULT_INIT_TYPE = init_type
+    _DEFAULT_INIT_GAIN = gain
+    return prev
+
+
+def weight_init(gain: float = 0.02, init_type: Optional[str] = None):
+    """Reference init_weights (base_network.py:28-59), all --init_type
+    variants, with init_variance as gain.  Fans computed over HWIO kernels
+    (fan_in = H*W*I, fan_out = H*W*O), matching torch's for NCHW OIHW."""
 
     def init(key, shape, dtype=jnp.float32):
-        # HWIO: fan_in = H*W*I, fan_out = H*W*O
+        it = init_type or _DEFAULT_INIT_TYPE
+        g = _DEFAULT_INIT_GAIN if _DEFAULT_INIT_GAIN is not None else gain
         rf = 1
         for d in shape[:-2]:
             rf *= d
         fan_in, fan_out = shape[-2] * rf, shape[-1] * rf
-        std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
-        return jax.random.normal(key, shape, dtype) * std
+        if it == "normal":
+            return jax.random.normal(key, shape, dtype) * g
+        if it == "xavier":
+            std = g * (2.0 / (fan_in + fan_out)) ** 0.5
+            return jax.random.normal(key, shape, dtype) * std
+        if it == "xavier_uniform":
+            # torch uses gain=1.0 for this branch (base_network.py:41-42)
+            a = (6.0 / (fan_in + fan_out)) ** 0.5
+            return jax.random.uniform(key, shape, dtype, -a, a)
+        if it == "kaiming":
+            # kaiming_normal_(a=0, mode='fan_in'): std = sqrt(2/fan_in)
+            std = (2.0 / fan_in) ** 0.5
+            return jax.random.normal(key, shape, dtype) * std
+        if it == "orthogonal":
+            flat = nn.initializers.orthogonal(scale=g, column_axis=-1)(
+                key, (fan_in, shape[-1]), dtype
+            )
+            return flat.reshape(shape[:-1] + (shape[-1],))
+        if it == "none":
+            # torch's default conv init: kaiming_uniform_(a=sqrt(5))
+            # -> uniform(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            b = 1.0 / fan_in ** 0.5
+            return jax.random.uniform(key, shape, dtype, -b, b)
+        raise NotImplementedError(f"initialization method [{it}]")
 
     return init
+
+
+def xavier_init(gain: float = 0.02):
+    """Back-compat alias: initializer honoring the active --init_type."""
+    return weight_init(gain)
 
 
 def reflect_pad(x: jax.Array, p: int) -> jax.Array:

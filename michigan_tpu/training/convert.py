@@ -241,3 +241,39 @@ def load_pth(path: str, key: str | None = None):
     if key is not None and isinstance(data, dict) and key in data:
         data = data[key]
     return data
+
+
+def _main(argv=None):
+    """Converter CLI.
+
+    VGG19:  python -m michigan_tpu.training.convert \
+                --vgg vgg19-dcbb9e9d.pth --out checkpoints/vgg19.npz
+    The output .npz is auto-discovered by training/evaluate
+    (models/vgg.find_vgg19_weights).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--vgg", help="torchvision vgg19 .pth (full model or .features)")
+    p.add_argument("--out", required=True, help="output .npz path")
+    args = p.parse_args(argv)
+
+    if args.vgg:
+        from michigan_tpu.models.vgg import save_vgg19_npz
+
+        state = load_pth(args.vgg)
+        state = {
+            k[len("features."):] if k.startswith("features.") else k: v
+            for k, v in dict(state).items()
+        }
+        variables = convert_vgg19(state)
+        save_vgg19_npz(variables, args.out)
+        n = sum(np.asarray(v).size for v in variables["params"].values()
+                for v in v.values())
+        print(f"wrote {args.out} ({n / 1e6:.1f}M params)")
+    else:
+        p.error("nothing to convert (pass --vgg)")
+
+
+if __name__ == "__main__":
+    _main()

@@ -48,90 +48,117 @@ def make_train_steps(opt, mesh=None, ab_count=None):
     syncbatch-norm modules) and returns (model, g_step, d_step):
       g_step(state, batch, rng, extra_dilate) -> (state, losses, fake)
       d_step(state, batch, rng, extra_dilate) -> (state, losses)
+
+    With --unpairTrain, the reference re-dispatches the stage eagerly every
+    step (pix2pix_trainer.py:61-77; train.py:42-95 alternates per epoch).
+    Under jit, the stage must be a trace-time constant: one program is
+    compiled per `curr_step` value and the wrappers below pick the right
+    compiled function per call from `opt.curr_step` (a Python-level read,
+    never traced), so mutating `opt.curr_step` between epochs works.
     """
     axis = DATA_AXIS if mesh is not None else None
     model = MichiGANModel(opt, axis_name=axis)
     opt_g_tx, opt_d_tx = make_optimizers(opt)
     g_names = g_net_names(opt)
 
-    def g_step_local(state: TrainState, batch, rng, extra_dilate):
-        if axis is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    def make_g_step_local(curr_step):
+        def g_step_local(state: TrainState, batch, rng, extra_dilate):
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-        def loss_fn(g_params):
-            variables = _merge_params(state.variables, g_params)
-            total, (losses, fake, updates) = model.generator_loss(
-                variables, batch, rng, ab_count=ab_count,
-                extra_dilate_steps=extra_dilate,
+            def loss_fn(g_params):
+                variables = _merge_params(state.variables, g_params)
+                total, (losses, fake, updates) = model.generator_loss(
+                    variables, batch, rng, ab_count=ab_count,
+                    extra_dilate_steps=extra_dilate, curr_step=curr_step,
+                )
+                return total, (losses, fake, updates)
+
+            g_params = {n: state.variables[n]["params"] for n in g_names}
+            (total, (losses, fake, updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(g_params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                losses = jax.lax.pmean(losses, axis)
+
+            upd, new_opt_state = opt_g_tx.update(grads, state.opt_g_state, g_params)
+            new_params = optax.apply_updates(g_params, upd)
+            variables = _merge_params(state.variables, new_params)
+            variables = _merge_updates(variables, "netG", updates)
+            state = state.replace(
+                variables=variables, opt_g_state=new_opt_state, step=state.step + 1
             )
-            return total, (losses, fake, updates)
+            return state, losses, fake
 
-        g_params = {n: state.variables[n]["params"] for n in g_names}
-        (total, (losses, fake, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(g_params)
-        if axis is not None:
-            grads = jax.lax.pmean(grads, axis)
-            losses = jax.lax.pmean(losses, axis)
+        return g_step_local
 
-        upd, new_opt_state = opt_g_tx.update(grads, state.opt_g_state, g_params)
-        new_params = optax.apply_updates(g_params, upd)
-        variables = _merge_params(state.variables, new_params)
-        variables = _merge_updates(variables, "netG", updates)
-        state = state.replace(
-            variables=variables, opt_g_state=new_opt_state, step=state.step + 1
-        )
-        return state, losses, fake
+    def make_d_step_local(curr_step):
+        d_name = "netD2" if (opt.unpairTrain and curr_step == 2) else "netD"
 
-    def d_step_local(state: TrainState, batch, rng, extra_dilate):
-        if axis is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        d_name = "netD2" if (opt.unpairTrain and opt.curr_step == 2) else "netD"
+        def d_step_local(state: TrainState, batch, rng, extra_dilate):
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-        def loss_fn(d_params):
-            variables = _merge_params(state.variables, d_params)
-            total, losses = model.discriminator_loss(
-                variables, batch, rng, extra_dilate_steps=extra_dilate
+            def loss_fn(d_params):
+                variables = _merge_params(state.variables, d_params)
+                total, losses = model.discriminator_loss(
+                    variables, batch, rng, extra_dilate_steps=extra_dilate,
+                    curr_step=curr_step,
+                )
+                return total, losses
+
+            d_params = {d_name: state.variables[d_name]["params"]}
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+            if axis is not None:
+                grads = jax.lax.pmean(grads, axis)
+                losses = jax.lax.pmean(losses, axis)
+
+            opt_state = (
+                state.opt_d2_state if d_name == "netD2" else state.opt_d_state
             )
-            return total, losses
+            upd, new_opt_state = opt_d_tx.update(grads, opt_state, d_params)
+            new_params = optax.apply_updates(d_params, upd)
+            variables = _merge_params(state.variables, new_params)
+            if d_name == "netD2":
+                state = state.replace(variables=variables, opt_d2_state=new_opt_state)
+            else:
+                state = state.replace(variables=variables, opt_d_state=new_opt_state)
+            return state, losses
 
-        d_params = {d_name: state.variables[d_name]["params"]}
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
-        if axis is not None:
-            grads = jax.lax.pmean(grads, axis)
-            losses = jax.lax.pmean(losses, axis)
+        return d_step_local
 
-        opt_state = (
-            state.opt_d2_state if d_name == "netD2" else state.opt_d_state
-        )
-        upd, new_opt_state = opt_d_tx.update(grads, opt_state, d_params)
-        new_params = optax.apply_updates(d_params, upd)
-        variables = _merge_params(state.variables, new_params)
-        if d_name == "netD2":
-            state = state.replace(variables=variables, opt_d2_state=new_opt_state)
-        else:
-            state = state.replace(variables=variables, opt_d_state=new_opt_state)
-        return state, losses
-
-    if mesh is None:
-        g_step = jax.jit(g_step_local, donate_argnums=(0,) if opt.donate_buffers else ())
-        d_step = jax.jit(d_step_local, donate_argnums=(0,) if opt.donate_buffers else ())
-        return model, g_step, d_step
-
+    donate = (0,) if opt.donate_buffers else ()
     batch_spec = P(DATA_AXIS)
     rep = P()
-    g_sharded = shard_map(
-        g_step_local, mesh=mesh,
-        in_specs=(rep, batch_spec, rep, rep),
-        out_specs=(rep, rep, batch_spec),
-        check_rep=False,
-    )
-    d_sharded = shard_map(
-        d_step_local, mesh=mesh,
-        in_specs=(rep, batch_spec, rep, rep),
-        out_specs=(rep, rep),
-        check_rep=False,
-    )
-    g_step = jax.jit(g_sharded, donate_argnums=(0,) if opt.donate_buffers else ())
-    d_step = jax.jit(d_sharded, donate_argnums=(0,) if opt.donate_buffers else ())
+
+    def compile_step(fn, out_specs):
+        if mesh is not None:
+            fn = shard_map(
+                fn, mesh=mesh,
+                in_specs=(rep, batch_spec, rep, rep),
+                out_specs=out_specs,
+                check_rep=False,
+            )
+        return jax.jit(fn, donate_argnums=donate)
+
+    stages = (1, 2) if opt.unpairTrain else (1,)
+    g_steps = {
+        s: compile_step(make_g_step_local(s), (rep, rep, batch_spec))
+        for s in stages
+    }
+    d_steps = {
+        s: compile_step(make_d_step_local(s), (rep, rep)) for s in stages
+    }
+
+    def g_step(state, batch, rng, extra_dilate):
+        return g_steps[opt.curr_step if opt.unpairTrain else 1](
+            state, batch, rng, extra_dilate
+        )
+
+    def d_step(state, batch, rng, extra_dilate):
+        return d_steps[opt.curr_step if opt.unpairTrain else 1](
+            state, batch, rng, extra_dilate
+        )
+
     return model, g_step, d_step

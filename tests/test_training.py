@@ -70,6 +70,45 @@ def test_unpair_step2_config():
     assert state.opt_d2_state is not None
 
 
+def test_unpair_stage_alternation_not_stale():
+    """Regression: with --unpairTrain the reference alternates stage-2 then
+    stage-1 per epoch (reference train.py:42-95).  Mutating opt.curr_step must
+    select a *different* compiled program — a single traced step would bake in
+    whichever stage ran first (the round-1 stale-jit bug)."""
+    opt = tiny_opt(unpairTrain=True, curr_step=2)
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(1, jnp.int32)
+
+    # epoch part A: stage 2 (unpair)
+    d2_before = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0].copy()
+    state, g2, _ = g_step(state, batch, rng, extra)
+    state, _ = d_step(state, batch, rng, extra)
+    assert "hairAvgLab" in g2 and "VGG" not in g2 and "GAN_Feat" not in g2
+    d2_after = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0]
+    assert not np.allclose(np.asarray(d2_before), np.asarray(d2_after))
+
+    # epoch part B: stage 1 (paired) through the SAME step product
+    opt.curr_step = 1
+    d1_before = jax.tree_util.tree_leaves(
+        state.variables["netD"]["params"])[0].copy()
+    d2_snap = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0].copy()
+    state, g1, _ = g_step(state, batch, rng, extra)
+    state, _ = d_step(state, batch, rng, extra)
+    assert "VGG" in g1 and "GAN_Feat" in g1 and "hairAvgLab" not in g1
+    d1_after = jax.tree_util.tree_leaves(state.variables["netD"]["params"])[0]
+    d2_still = jax.tree_util.tree_leaves(state.variables["netD2"]["params"])[0]
+    assert not np.allclose(np.asarray(d1_before), np.asarray(d1_after)), (
+        "stage-1 D step must train netD")
+    np.testing.assert_array_equal(np.asarray(d2_snap), np.asarray(d2_still))
+
+
 def test_no_ig_remat_config():
     opt = tiny_opt(use_ig=False, remat=True)
     run_one_gd(opt)
