@@ -68,14 +68,23 @@ def single_inference_data(opt) -> Dict[str, np.ndarray]:
 
     if opt.use_ig:
         if opt.inference_orient_name == opt.inference_tag_name:
-            hole = generate_hole(np.array(label_tag), np.array(orient_mask))
+            import random as _random
+
+            hole = generate_hole(
+                np.array(label_tag), np.array(orient_mask),
+                _random.Random(opt.seed),
+            )
             hole_t = tl(hole)[None] * 255.0
         else:
             hole_t = label_tag_t - orient_mask_t * label_tag_t
     else:
         hole_t = np.zeros_like(label_tag_t)
 
-    noise = generate_noise(opt.crop_size, opt.crop_size)[None]
+    # seeded from --seed: makes CLI inference reproducible (the
+    # reference draws from the global numpy RNG, base_dataset.py:387-396)
+    noise = generate_noise(
+        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+    )[None]
 
     ti = get_transform(opt, params, color=opt.color_jitter)
     image_ref_t = ti(image_ref.convert("RGB"))[None]
@@ -140,7 +149,11 @@ def demo_inference_data(
     else:
         mask_stroke_t = np.zeros_like(label_tag_t)
 
-    noise = generate_noise(opt.crop_size, opt.crop_size)[None]
+    # seeded from --seed: makes CLI inference reproducible (the
+    # reference draws from the global numpy RNG, base_dataset.py:387-396)
+    noise = generate_noise(
+        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+    )[None]
     ti = get_transform(opt, params, color=opt.color_jitter)
     image_ref_t = ti(ref_image.convert("RGB"))[None]
     image_tag_t = get_transform(opt, params)(tag_image.convert("RGB"))[None]

@@ -39,6 +39,7 @@ class SPADEResnetBlock(nn.Module):
             return SPADE(
                 spade_cfg, nc, label_nc, use_weight_norm=opt.weight_norm_G,
                 axis_name=self.axis_name, name=name,
+                use_pallas=getattr(opt, "use_pallas", False),
             )
 
         def conv(name, nf, ks, pad, bias=True):

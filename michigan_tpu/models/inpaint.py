@@ -21,11 +21,28 @@ from michigan_tpu.models.layers import (
 from michigan_tpu.ops.norms import instance_norm
 
 
+def _in_act(y, act=None, use_pallas=False):
+    """IN + optional activation.  IG/SIG run frozen under stop_gradient
+    (pix2pix_model.py:196-201, 260-265), so the fused Pallas kernel — which
+    has no AD rule — is safe on every path when --use_pallas."""
+    if use_pallas:
+        from michigan_tpu.ops.pallas.spade import fused_instance_norm
+
+        return fused_instance_norm(y, act=act)
+    y = instance_norm(y)
+    if act == "relu":
+        return jax.nn.relu(y)
+    if act == "lrelu":
+        return jax.nn.leaky_relu(y, 0.2)
+    return y
+
+
 class DilatedResnetBlock(nn.Module):
     """generator.py:450-464: reflect2 -> spectral 3x3 dil2 -> IN -> ReLU ->
     reflect1 -> spectral 3x3 -> IN; residual add."""
 
     dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -33,10 +50,10 @@ class DilatedResnetBlock(nn.Module):
         y = TorchConv(self.dim, 3, padding=0, dilation=2, spectral=True, name="conv1")(
             y, train
         )
-        y = jax.nn.relu(instance_norm(y))
+        y = _in_act(y, "relu", self.use_pallas)
         y = reflect_pad(y, 1)
         y = TorchConv(self.dim, 3, padding=0, spectral=True, name="conv2")(y, train)
-        y = instance_norm(y)
+        y = _in_act(y, None, self.use_pallas)
         return x + y
 
 
@@ -68,29 +85,30 @@ class _InpaintBase(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pallas = getattr(self.opt, "use_pallas", False)
         # encoder (generator.py:512-524)
         y = reflect_pad(x, 3)
         y = TorchConv(64, 7, padding=0, spectral=True, name="encoder_1")(y, train)
-        y = jax.nn.leaky_relu(instance_norm(y), 0.2)
+        y = _in_act(y, "lrelu", pallas)
         y = TorchConv(128, 4, 2, padding=1, spectral=True, name="encoder_4")(y, train)
-        y = jax.nn.leaky_relu(instance_norm(y), 0.2)
+        y = _in_act(y, "lrelu", pallas)
         y = TorchConv(256, 4, 2, padding=1, spectral=True, name="encoder_7")(y, train)
-        y = jax.nn.leaky_relu(instance_norm(y), 0.2)
+        y = _in_act(y, "lrelu", pallas)
 
         # middle: 12 dilated resblocks + self-attention (generator.py:526-530)
         for i in range(self.blocks):
-            y = DilatedResnetBlock(256, name=f"middle_{i}")(y, train)
+            y = DilatedResnetBlock(256, use_pallas=pallas, name=f"middle_{i}")(y, train)
         y = SelfAttention(256, name=f"middle_{self.blocks}")(y, train)
 
         # decoder (generator.py:548-557)
         y = TorchConvTranspose(128, 4, 2, padding=1, spectral=True, name="decoder_0")(
             y, train
         )
-        y = jax.nn.relu(instance_norm(y))
+        y = _in_act(y, "relu", pallas)
         y = TorchConvTranspose(64, 4, 2, padding=1, spectral=True, name="decoder_3")(
             y, train
         )
-        y = jax.nn.relu(instance_norm(y))
+        y = _in_act(y, "relu", pallas)
         y = reflect_pad(y, 3)
         y = TorchConv(3, 7, padding=0, name="decoder_7")(y, train)
         return (jnp.tanh(y) + 1.0) / 2.0

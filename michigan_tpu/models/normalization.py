@@ -58,9 +58,11 @@ class ParamFreeNorm(nn.Module):
     axis_name: Optional[str] = None
     momentum: float = 0.1
     eps: float = 1e-5
+    return_stats: bool = False  # eval-only: return (mean, var) instead of
+                                # normalizing, for fused modulation kernels
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False):
         if self.norm_type == "instance":
             return instance_norm(x, self.eps)
         if self.norm_type not in ("batch", "syncbatch"):
@@ -71,6 +73,8 @@ class ParamFreeNorm(nn.Module):
         rv = self.variable(
             "batch_stats", "running_var", jnp.ones, (self.num_features,), jnp.float32
         )
+        if self.return_stats and not train:
+            return rm.value, rv.value
         if train:
             axis = self.axis_name if self.norm_type == "syncbatch" else None
             y, new_m, new_v = batch_norm_train(
@@ -98,20 +102,12 @@ class SPADE(nn.Module):
     use_weight_norm: bool = False
     axis_name: Optional[str] = None
     nhidden: int = 128
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, train: bool = False) -> jax.Array:
         norm_type, ks = parse_spade_config(self.config_text)
         pw = ks // 2
-
-        if not self.use_weight_norm:
-            normalized = ParamFreeNorm(
-                norm_type, x.shape[-1], axis_name=self.axis_name,
-                name="param_free_norm",
-            )(x, train)
-        else:
-            # weight_norm_G skips the param-free norm (normalization.py:103-107)
-            normalized = x
 
         seg = resize_nearest(segmap, (x.shape[1], x.shape[2])).astype(x.dtype)
         actv = jax.nn.relu(
@@ -129,6 +125,32 @@ class SPADE(nn.Module):
         )
         gamma = gb_out[..., : self.norm_nc]
         beta = gb_out[..., self.norm_nc :]
+
+        if self.use_weight_norm:
+            # weight_norm_G skips the param-free norm (normalization.py:103-107)
+            return x * (1.0 + gamma) + beta
+
+        # --- fused Pallas modulation (inference path; --use_pallas) ---
+        # training keeps the XLA composition for exact autodiff + stat updates
+        if self.use_pallas and not train:
+            from michigan_tpu.ops.pallas.spade import (
+                fused_instance_norm,
+                spade_modulate,
+            )
+
+            if norm_type == "instance":
+                return fused_instance_norm(x, gamma, beta)
+            rm, rv = ParamFreeNorm(
+                norm_type, x.shape[-1], axis_name=self.axis_name,
+                name="param_free_norm", return_stats=True,
+            )(x, train)
+            inv = jax.lax.rsqrt(rv + 1e-5)
+            return spade_modulate(x, rm, inv, gamma, beta)
+
+        normalized = ParamFreeNorm(
+            norm_type, x.shape[-1], axis_name=self.axis_name,
+            name="param_free_norm",
+        )(x, train)
         return normalized * (1.0 + gamma) + beta
 
 

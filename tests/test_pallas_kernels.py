@@ -49,3 +49,52 @@ def test_filterbank_orientation(rng):
                                rtol=1e-4, atol=1e-3)
     mismatch = (np.asarray(idx) != np.asarray(idx_ref)).mean()
     assert mismatch < 1e-3
+
+
+def test_streaming_instance_norm_matches_xla(rng):
+    """Large-plane path: the two-pass streaming kernel (no whole-plane VMEM
+    residency) must match XLA instance norm, including non-tile-aligned HW."""
+    from michigan_tpu.ops.norms import instance_norm
+    from michigan_tpu.ops.pallas.spade import _streaming_instance_norm
+
+    x = rng.normal(size=(2, 40, 40, 70)).astype(np.float32)
+    ours = np.asarray(
+        _streaming_instance_norm(jnp.asarray(x), None, None, 1e-5, th=96)
+    )
+    ref = np.asarray(instance_norm(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_instance_norm_modulated(rng):
+    from michigan_tpu.ops.norms import instance_norm
+    from michigan_tpu.ops.pallas.spade import _streaming_instance_norm
+
+    x = rng.normal(size=(1, 33, 33, 130)).astype(np.float32)
+    g = rng.normal(size=x.shape).astype(np.float32)
+    b = rng.normal(size=x.shape).astype(np.float32)
+    ours = np.asarray(
+        _streaming_instance_norm(
+            jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), 1e-5, th=64
+        )
+    )
+    ref = np.asarray(instance_norm(jnp.asarray(x))) * (1.0 + g) + b
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_spade_module_pallas_parity(rng):
+    """SPADE(use_pallas=True) in eval == SPADE(use_pallas=False), both norm
+    types, same variables."""
+    import jax
+    from michigan_tpu.models.normalization import SPADE
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+    seg = jnp.asarray(rng.normal(size=(2, 32, 32, 4)).astype(np.float32))
+    for cfg in ("spadeinstance3x3", "spadesyncbatch3x3"):
+        ref_mod = SPADE(cfg, 64, 4, use_pallas=False)
+        pal_mod = SPADE(cfg, 64, 4, use_pallas=True)
+        variables = ref_mod.init(jax.random.PRNGKey(0), x, seg)
+        a = ref_mod.apply(variables, x, seg, train=False)
+        b = pal_mod.apply(variables, x, seg, train=False)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+        ), cfg
