@@ -24,7 +24,11 @@ def _load_demo_sample(demo_dir: str, name: str):
     orient = np.array(
         Image.open(os.path.join(demo_dir, "orients", name + "_orient_dense.png"))
     )
-    return img, label, orient
+    # reconstructed tag (hair removed) — used when a mask edit exposes
+    # background (reference demo.py:137-142)
+    recon_path = os.path.join(demo_dir, "images_recon", name + ".jpg")
+    recon = Image.open(recon_path) if os.path.exists(recon_path) else None
+    return img, label, orient, recon
 
 
 def run_headless(argv=None):
@@ -33,19 +37,49 @@ def run_headless(argv=None):
     parser.add_argument("--ref_name", type=str, default="59144")
     parser.add_argument("--stroke", action="store_true",
                         help="exercise the stroke-inpainting (SIG) path")
+    parser.add_argument("--erase", action="store_true",
+                        help="edit that removes hair: exercises the "
+                             "reconstructed-tag (images_recon) selection")
     parser.add_argument("--out", type=str, default="./inference_samples/demo_edit.jpg")
     args, rest = parser.parse_known_args(argv)
 
     from michigan_tpu.config import demo_options
-    from michigan_tpu.demo.engine import DemoEngine, dilate_hole, stroke_to_orient
+    from michigan_tpu.demo.engine import (
+        DemoEngine,
+        dilate_hole,
+        select_tag_image,
+        stroke_to_orient,
+    )
 
     opt = demo_options(rest)
     engine = DemoEngine(opt)
 
     demo_dir = opt.demo_data_dir
-    tag_img, tag_label, tag_orient = _load_demo_sample(demo_dir, args.tag_name)
-    ref_img, ref_label, ref_orient = _load_demo_sample(demo_dir, args.ref_name)
+    tag_img, tag_label, tag_orient, tag_recon = _load_demo_sample(
+        demo_dir, args.tag_name
+    )
+    ref_img, ref_label, ref_orient, _ = _load_demo_sample(demo_dir, args.ref_name)
     ref_label_path = os.path.join(demo_dir, "labels", args.ref_name + ".png")
+
+    if args.erase:
+        # user edit that removes the top of the hair mask: the exposed
+        # region must come from the reconstructed tag (demo.py:330-333)
+        mask_m = tag_label.copy()
+        ys, xs = np.nonzero(tag_label)
+        if len(ys):
+            cut = int(np.percentile(ys, 30))
+            mask_m[:cut] = 0
+        tag_for_edit = select_tag_image(tag_img, tag_recon, tag_label, mask_m)
+        if tag_recon is not None:
+            assert tag_for_edit is not tag_img, "recon tag must be selected"
+        result, orient_rgb, latency = engine.edit(
+            ref_label_path, mask_m, mask_m, tag_orient,
+            ref_img, tag_for_edit, inpaint_mode="ref",
+        )
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        Image.fromarray(result).save(args.out)
+        print(f"saved {args.out} (latency {latency:.3f}s)")
+        return
 
     if args.stroke:
         # synthesize a diagonal stroke through the hair region

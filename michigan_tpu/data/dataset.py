@@ -148,7 +148,7 @@ class PrefetchLoader:
 
     def __init__(self, dataset: CustomDataset, batch_size: int, shuffle: bool,
                  drop_last: bool, num_workers: int = 2, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, shard: tuple = (0, 1)):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -157,6 +157,15 @@ class PrefetchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # (process_index, process_count): every host draws the SAME global
+        # batch index list (same seed/epoch), then keeps only its contiguous
+        # slice — together the hosts assemble the global batch exactly once
+        self.shard_rank, self.shard_count = shard
+        assert batch_size % self.shard_count == 0, (
+            f"batchSize {batch_size} must divide across "
+            f"{self.shard_count} hosts"
+        )
+        self.local_batch_size = batch_size // self.shard_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -194,8 +203,21 @@ class PrefetchLoader:
                     bi, batch_idx = work.get_nowait()
                 except queue.Empty:
                     return
-                rng = random.Random((self.seed, self.epoch, bi).__hash__())
-                samples = [self.dataset.get_sample(i, rng) for i in batch_idx]
+                lb = self.local_batch_size
+                off = self.shard_rank * lb if self.shard_count > 1 else 0
+                local_idx = (
+                    batch_idx[off : off + lb]
+                    if self.shard_count > 1 else batch_idx
+                )
+                # per-sample rng keyed by GLOBAL batch position: host shards
+                # reproduce exactly the randomness of the unsharded stream
+                samples = [
+                    self.dataset.get_sample(
+                        i,
+                        random.Random((self.seed, self.epoch, bi, off + j).__hash__()),
+                    )
+                    for j, i in enumerate(local_idx)
+                ]
                 stacked = {
                     k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
@@ -231,9 +253,25 @@ class PrefetchLoader:
         self.epoch += 1
 
 
-def create_dataloader(opt, step: int = 1) -> PrefetchLoader:
-    """data/__init__.py:41-58 equivalent."""
-    ds = CustomDataset(opt, step)
+# name -> class, replacing the reference's find_dataset_using_name reflection
+# (data/__init__.py:11-33); 'custom' is the only dataset the reference ships
+DATASET_REGISTRY = {"custom": CustomDataset}
+
+
+def create_dataloader(opt, step: int = 1, shard: tuple = (0, 1)) -> PrefetchLoader:
+    """data/__init__.py:41-58 equivalent.
+
+    `shard=(process_index, process_count)` makes each host assemble only its
+    slice of every global batch (multi-host training; the reference is
+    single-host-only, SURVEY §2.7)."""
+    try:
+        ds_cls = DATASET_REGISTRY[opt.dataset_mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown --dataset_mode '{opt.dataset_mode}' "
+            f"(available: {sorted(DATASET_REGISTRY)})"
+        ) from None
+    ds = ds_cls(opt, step)
     return PrefetchLoader(
         ds,
         batch_size=opt.batchSize,
@@ -241,4 +279,5 @@ def create_dataloader(opt, step: int = 1) -> PrefetchLoader:
         drop_last=opt.isTrain,
         num_workers=opt.nThreads,
         seed=opt.seed,
+        shard=shard,
     )

@@ -38,6 +38,24 @@ def stroke_to_orient(stroke_mask: np.ndarray) -> np.ndarray:
     return (rgb + 1.0) / 2.0 * 255.0
 
 
+def select_tag_image(
+    tag_img: Image.Image,
+    recon_img: Optional[Image.Image],
+    mask: np.ndarray,
+    mask_m: np.ndarray,
+    use_reference_mask: bool = False,
+) -> Image.Image:
+    """Reconstructed-tag selection (reference demo.py:330-333): when editing
+    with a user mask (not the reference mask) that REMOVES hair pixels
+    (1 appears in mask - mask_m), the reconstructed tag image from
+    images_recon/ supplies the exposed background; otherwise the original
+    tag image is used."""
+    ranges = np.unique(mask.astype(np.int32) - mask_m.astype(np.int32))
+    if not use_reference_mask and recon_img is not None and 1 in ranges:
+        return recon_img.copy()
+    return tag_img.copy()
+
+
 def dilate_hole(stroke_mask: np.ndarray, k: int = 50) -> np.ndarray:
     """Hole = dilated stroke (demo.py:323-324, 50x50 ellipse)."""
     import cv2

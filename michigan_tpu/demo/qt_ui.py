@@ -28,7 +28,12 @@ from PyQt5.QtWidgets import (
     QWidget,
 )
 
-from michigan_tpu.demo.engine import DemoEngine, dilate_hole, stroke_to_orient
+from michigan_tpu.demo.engine import (
+    DemoEngine,
+    dilate_hole,
+    select_tag_image,
+    stroke_to_orient,
+)
 
 MODE_BG, MODE_HAIR, MODE_STROKE = 0, 1, 2
 
@@ -155,6 +160,12 @@ class DemoWindow(QWidget):
         )
         masks = self.scene.rasterize(tag_label.shape)
         label = np.clip(tag_label + masks[MODE_HAIR], 0, 1) * (1 - masks[MODE_BG])
+
+        # edited mask that removes hair -> reconstructed tag supplies the
+        # exposed background (reference demo.py:137-142, 330-333)
+        recon_path = os.path.join(d, "images_recon", self.tag_name + ".jpg")
+        recon = Image.open(recon_path) if os.path.exists(recon_path) else None
+        tag_img = select_tag_image(tag_img, recon, tag_label, label)
 
         if masks[MODE_STROKE].any():
             stroke = masks[MODE_STROKE] * label

@@ -1,0 +1,79 @@
+"""Per-host input pipeline: host shards must exactly partition the global
+batch (train.py multi-host path; the reference is single-host-only DataParallel,
+SURVEY §2.7)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from michigan_tpu.config import Options
+from michigan_tpu.data.dataset import create_dataloader
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    base = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for sub in ("train_labels", "train_images", "train_dense_orients"):
+        (base / sub).mkdir(parents=True)
+    for i in range(8):
+        name = f"{i:05d}"
+        lab = (rng.integers(0, 2, (32, 32)) * 1).astype(np.uint8)
+        Image.fromarray(lab, "L").save(base / "train_labels" / f"{name}.png")
+        img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        Image.fromarray(img).save(base / "train_images" / f"{name}.jpg")
+        ori = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+        Image.fromarray(ori, "L").save(base / "train_dense_orients" / f"{name}.png")
+    return str(base)
+
+
+def make_opt(tiny_dataset, **kw):
+    d = dict(
+        isTrain=True, crop_size=32, load_size=32, batchSize=4,
+        serial_batches=True, no_flip=True, use_ig=False, nThreads=1,
+        data_dir=tiny_dataset, preprocess_mode="resize_and_crop",
+    )
+    d.update(kw)
+    return Options(**d).finalize()
+
+
+def test_host_shards_partition_global_batch(tiny_dataset):
+    opt = make_opt(tiny_dataset)
+    global_batches = list(create_dataloader(opt, shard=(0, 1)))
+    shard0 = list(create_dataloader(opt, shard=(0, 2)))
+    shard1 = list(create_dataloader(opt, shard=(1, 2)))
+    assert len(global_batches) == len(shard0) == len(shard1) == 2
+    for g, a, b in zip(global_batches, shard0, shard1):
+        for k in g:
+            assert a[k].shape[0] == b[k].shape[0] == g[k].shape[0] // 2
+            np.testing.assert_array_equal(
+                np.concatenate([a[k], b[k]]), g[k],
+            )
+
+
+def test_shard_batch_divisibility_asserted(tiny_dataset):
+    opt = make_opt(tiny_dataset, batchSize=3)
+    with pytest.raises(AssertionError, match="divide"):
+        create_dataloader(opt, shard=(0, 2))
+
+
+def test_make_array_from_process_local_data_roundtrip(tiny_dataset):
+    """Single-process equivalent of the train.py device_batch path over the
+    8-virtual-device mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from michigan_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    opt = make_opt(tiny_dataset, batchSize=8)
+    mesh = make_mesh("data:-1")
+    sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    data = next(iter(create_dataloader(opt, shard=(0, 1))))
+    arr = jax.make_array_from_process_local_data(
+        sharding, np.asarray(data["image_tag"])
+    )
+    assert arr.shape == data["image_tag"].shape
+    np.testing.assert_array_equal(np.asarray(arr), data["image_tag"])
+    assert len(arr.sharding.device_set) == 8

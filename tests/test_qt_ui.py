@@ -1,0 +1,246 @@
+"""Execute the Qt demo shell (michigan_tpu/demo/qt_ui.py) without PyQt5.
+
+A minimal fake PyQt5 is installed into sys.modules so the widget code —
+stroke capture, per-mode history/undo, rasterization, the edit handler with
+reconstructed-tag selection, save — actually runs (round-1 VERDICT: the UI
+was import-gated and never executed)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+# ---------------------------------------------------------------------------
+# fake PyQt5
+# ---------------------------------------------------------------------------
+
+class _Signal:
+    def __init__(self):
+        self._cbs = []
+
+    def connect(self, cb):
+        self._cbs.append(cb)
+
+    def emit(self):
+        for cb in self._cbs:
+            cb()
+
+
+class _QWidget:
+    def __init__(self, parent=None):
+        pass
+
+    def setWindowTitle(self, *_):
+        pass
+
+    def show(self):
+        pass
+
+
+class _QGraphicsScene:
+    def __init__(self, parent=None):
+        self.lines = []
+
+    def addLine(self, x1, y1, x2, y2, pen=None):
+        self.lines.append((x1, y1, x2, y2))
+
+    def clear(self):
+        self.lines = []
+
+    def addPixmap(self, *_):
+        pass
+
+
+class _QPen:
+    def __init__(self, *_):
+        pass
+
+    def setWidth(self, *_):
+        pass
+
+
+class _QPushButton:
+    def __init__(self, name):
+        self.name = name
+        self.clicked = _Signal()
+
+
+class _Layout:
+    def __init__(self, parent=None):
+        pass
+
+    def addWidget(self, *_):
+        pass
+
+    def addLayout(self, *_):
+        pass
+
+
+class _QLabel(_QWidget):
+    def __init__(self, *_):
+        pass
+
+    def setPixmap(self, *_):
+        self.pix_set = True
+
+
+class _QPixmap:
+    def __init__(self, *_):
+        pass
+
+    @staticmethod
+    def fromImage(_):
+        return _QPixmap()
+
+    def isNull(self):
+        return False
+
+
+class _QImage:
+    Format_RGB888 = 13
+
+    def __init__(self, *a, **k):
+        pass
+
+
+@pytest.fixture
+def fake_qt(monkeypatch):
+    core = types.ModuleType("PyQt5.QtCore")
+    core.Qt = types.SimpleNamespace(green=1, white=2, black=3)
+    gui = types.ModuleType("PyQt5.QtGui")
+    gui.QImage, gui.QPen, gui.QPixmap = _QImage, _QPen, _QPixmap
+    widgets = types.ModuleType("PyQt5.QtWidgets")
+    widgets.QApplication = _QWidget
+    widgets.QFileDialog = types.SimpleNamespace(
+        getOpenFileName=lambda *a, **k: ("", "")
+    )
+    widgets.QGraphicsScene = _QGraphicsScene
+    widgets.QGraphicsView = _QWidget
+    widgets.QHBoxLayout = _Layout
+    widgets.QVBoxLayout = _Layout
+    widgets.QLabel = _QLabel
+    widgets.QPushButton = _QPushButton
+    widgets.QWidget = _QWidget
+    pkg = types.ModuleType("PyQt5")
+    pkg.QtCore, pkg.QtGui, pkg.QtWidgets = core, gui, widgets
+    for name, mod in [
+        ("PyQt5", pkg), ("PyQt5.QtCore", core), ("PyQt5.QtGui", gui),
+        ("PyQt5.QtWidgets", widgets),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    sys.modules.pop("michigan_tpu.demo.qt_ui", None)
+    yield
+    sys.modules.pop("michigan_tpu.demo.qt_ui", None)
+
+
+class _Event:
+    def __init__(self, x, y):
+        self._p = types.SimpleNamespace(x=lambda: x, y=lambda: y)
+
+    def scenePos(self):
+        return self._p
+
+
+class _FakeEngine:
+    def __init__(self, opt):
+        self.calls = []
+
+    def edit(self, ref_label_path, label, mask_orient, orient, ref_img,
+             tag_img, orient_stroke=None, mask_stroke=None, mask_hole=None,
+             inpaint_mode="ref"):
+        self.calls.append({
+            "mode": inpaint_mode,
+            "tag_img": tag_img,
+            "label": label,
+        })
+        return np.zeros((8, 8, 3), np.uint8), None, 0.01
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _demo_opt():
+    from michigan_tpu.config import Options
+
+    return Options(
+        isTrain=False, demo_data_dir=os.path.join(REPO, "datasets", "FFHQ_demo"),
+    ).finalize()
+
+
+def test_paint_scene_capture_and_undo(fake_qt):
+    from michigan_tpu.demo import qt_ui
+
+    scene = qt_ui.PaintScene()
+    scene.mode = qt_ui.MODE_HAIR
+    scene.mousePressEvent(_Event(1, 1))
+    scene.mouseMoveEvent(_Event(5, 5))
+    scene.mouseMoveEvent(_Event(9, 2))
+    scene.mouseReleaseEvent(_Event(9, 2))
+    assert len(scene.strokes[qt_ui.MODE_HAIR]) == 1
+    assert len(scene.lines) == 2  # two segments drawn
+
+    masks = scene.rasterize((16, 16))
+    assert masks[qt_ui.MODE_HAIR].any()
+    assert not masks[qt_ui.MODE_BG].any()
+
+    scene.undo()
+    assert not scene.strokes[qt_ui.MODE_HAIR]
+    assert not scene.rasterize((16, 16))[qt_ui.MODE_HAIR].any()
+
+
+def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
+    from michigan_tpu.demo import qt_ui
+
+    monkeypatch.setattr(qt_ui, "DemoEngine", _FakeEngine)
+    win = qt_ui.DemoWindow(_demo_opt())
+    win.tag_name = "67172"
+    win.ref_name = "59144"
+
+    # edit with no strokes: ref-mode, original tag (no hair removed)
+    win.edit()
+    assert win.engine.calls[-1]["mode"] == "ref"
+    assert win.result is not None
+
+    # background stroke across the hair -> hair removed -> recon tag selected
+    label = np.array(
+        Image.open(
+            os.path.join(REPO, "datasets", "FFHQ_demo", "labels", "67172.png")
+        )
+    )
+    ys, xs = np.nonzero(label)
+    y, x0, x1 = int(ys.mean()), int(xs.min()), int(xs.max())
+    win.scene.mode = qt_ui.MODE_BG
+    win.scene.size = 30
+    win.scene.mousePressEvent(_Event(x0, y))
+    win.scene.mouseMoveEvent(_Event(x1, y))
+    win.scene.mouseReleaseEvent(_Event(x1, y))
+    win.edit()
+    call = win.engine.calls[-1]
+    recon = np.asarray(
+        Image.open(
+            os.path.join(
+                REPO, "datasets", "FFHQ_demo", "images_recon", "67172.jpg"
+            )
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(call["tag_img"]), recon)
+
+    # stroke mode routes to the SIG path
+    win.engine.calls.clear()
+    win.scene.strokes[qt_ui.MODE_BG].clear()
+    win.scene.mode = qt_ui.MODE_STROKE
+    win.scene.size = 12
+    win.scene.mousePressEvent(_Event(x0, y))
+    win.scene.mouseMoveEvent(_Event((x0 + x1) // 2, y))
+    win.scene.mouseReleaseEvent(_Event((x0 + x1) // 2, y))
+    win.edit()
+    assert win.engine.calls[-1]["mode"] == "stroke"
+
+    # save handler
+    monkeypatch.chdir(tmp_path)
+    win.save()
+    assert os.path.exists("./inference_samples/demo_edit.jpg")

@@ -49,3 +49,41 @@ def test_spatial_sharded_inference_matches():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
     )
+
+
+def test_spatial_sharded_most_config_matches():
+    """The 1024^2-class config ('most': one more up-block, latent /128)
+    through H-axis sharding — the config spatial sharding exists FOR.
+    Run at 256^2 (same graph topology, CPU-testable); the real-size memory
+    headroom is recorded on TPU in PERF.md."""
+    assert jax.device_count() >= 8
+    opt = Options(
+        isTrain=False, crop_size=256, load_size=256, ngf=4,
+        use_encoder=True, use_ig=False, noise_background=True,
+        num_upsampling_layers="most", batchSize=1,
+        expand_mask_be=True, expand_th=5,
+    ).finalize()
+    model = MichiGANModel(opt)
+
+    rng = np.random.default_rng(1)
+    s = opt.crop_size
+    batch = {
+        "label_ref": jnp.asarray(rng.integers(0, 2, (1, s, s, 1)), jnp.float32),
+        "label_tag": jnp.asarray(rng.integers(0, 2, (1, s, s, 1)), jnp.float32),
+        "image_ref": jnp.asarray(rng.uniform(-1, 1, (1, s, s, 3)), jnp.float32),
+        "image_tag": jnp.asarray(rng.uniform(-1, 1, (1, s, s, 3)), jnp.float32),
+        "orient": jnp.asarray(rng.uniform(0, 255, (1, s, s, 1)), jnp.float32),
+        "hole": jnp.asarray(rng.integers(0, 2, (1, s, s, 1)), jnp.float32),
+        "orient_rgb": jnp.asarray(rng.uniform(0, 1, (1, s, s, 3)), jnp.float32),
+        "noise": jnp.asarray(rng.uniform(0, 1, (1, s, s, 3)), jnp.float32),
+    }
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    ref, _ = jax.jit(model.infer)(variables, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("space",))
+    sharded_infer = make_spatial_infer(model, mesh)
+    with mesh:
+        out, _ = sharded_infer(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )

@@ -74,3 +74,30 @@ def test_stroke_cond_matches_eager(setup, prefill):
     np.testing.assert_allclose(
         np.asarray(rgb_cond), np.asarray(rgb_eager), rtol=1e-5, atol=1e-5
     )
+
+
+def test_select_tag_image_recon_semantics():
+    """Reconstructed-tag selection (reference demo.py:330-333): recon image
+    used iff hair pixels were REMOVED by a user mask edit."""
+    from PIL import Image as PILImage
+
+    from michigan_tpu.demo.engine import select_tag_image
+
+    tag = PILImage.new("RGB", (8, 8), (10, 10, 10))
+    recon = PILImage.new("RGB", (8, 8), (200, 200, 200))
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:6, 2:6] = 1
+
+    shrunk = mask.copy()
+    shrunk[2:4] = 0  # removes hair -> 1 in (mask - mask_m)
+    grown = mask.copy()
+    grown[6:8, 2:6] = 1  # only adds hair -> no 1 in diff
+
+    out = select_tag_image(tag, recon, mask, shrunk)
+    assert np.asarray(out)[0, 0, 0] == 200  # recon selected
+    out = select_tag_image(tag, recon, mask, grown)
+    assert np.asarray(out)[0, 0, 0] == 10  # original kept
+    out = select_tag_image(tag, recon, mask, shrunk, use_reference_mask=True)
+    assert np.asarray(out)[0, 0, 0] == 10  # reference-mask mode never swaps
+    out = select_tag_image(tag, None, mask, shrunk)
+    assert np.asarray(out)[0, 0, 0] == 10  # no recon available

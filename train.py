@@ -40,14 +40,35 @@ def main(argv=None):
     if opt.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    dataloader = create_dataloader(opt)
-    dataloader2 = create_dataloader(opt, 2) if opt.unpairTrain else None
+    # per-host input sharding: each host loads only its slice of every
+    # global batch (jax.process_count()==1 on single-host; the reference is
+    # single-host DataParallel only, SURVEY §2.7)
+    shard = (jax.process_index(), jax.process_count())
+    dataloader = create_dataloader(opt, shard=shard)
+    dataloader2 = create_dataloader(opt, 2, shard=shard) if opt.unpairTrain else None
 
     n_dev = jax.device_count()
     assert opt.batchSize % n_dev == 0, (
         f"batchSize {opt.batchSize} must divide across {n_dev} devices"
     )
     mesh = make_mesh(opt.mesh_shape) if n_dev > 1 else None
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from michigan_tpu.parallel.mesh import DATA_AXIS
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+    def device_batch(data):
+        """Host-local numpy -> global device array sharded over the mesh."""
+        if batch_sharding is None:
+            return {k: jnp.asarray(v) for k, v in data.items()}
+        return {
+            k: jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(v)
+            )
+            for k, v in data.items()
+        }
     ab_count = None
     if opt.balance_Lab and os.path.exists(opt.weight_dir):
         ab_count = load_ab_count(opt.weight_dir)
@@ -63,7 +84,7 @@ def main(argv=None):
         f"dataset at {opt.data_dir} yields no full batches of {opt.batchSize}"
     )
     first_batch = next(iter(dataloader))
-    batch0 = {k: jnp.asarray(v) for k, v in first_batch.items()}
+    batch0 = device_batch(first_batch)
     variables = model.init_variables(rng, batch0)
     if opt.unpairTrain and opt.same_netD_model and "netD2" in variables:
         # initialize netD2 from netD (reference --same_netD_model,
@@ -92,7 +113,7 @@ def main(argv=None):
         iter_counter.record_epoch_start(epoch)
         for i, data in enumerate(loader):
             iter_counter.record_one_iteration()
-            batch = {k: jnp.asarray(v) for k, v in data.items()}
+            batch = device_batch(data)
             step_rng = jax.random.fold_in(
                 jax.random.PRNGKey(opt.seed), int(iter_counter.total_steps_so_far)
             )
