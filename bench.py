@@ -50,7 +50,8 @@ def main():
         remat=(mode == "train" and os.environ.get("BENCH_REMAT", "1") == "1"),
         num_upsampling_layers="more", dtype=dtype,
         # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
-        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+        # (default matches the config default: off — PERF.md policy)
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
     model = MichiGANModel(opt)

@@ -224,7 +224,11 @@ class Options:
                                          # NaN counters, pix2pix_trainer.py:45-56)
     profile_dir: str = ""                # write a jax.profiler trace here
     bench_iters: int = 20
-    use_pallas: bool = True              # use fused Pallas kernels where profitable
+    use_pallas: bool = False             # fused Pallas norm kernels; measured
+                                         # SLOWER than XLA's in-context fusion
+                                         # at every flagship shape (PERF.md
+                                         # A/B: 49-58 vs 89 img/s), so off by
+                                         # default; kernels stay tested
     donate_buffers: bool = True
     remat: bool = False                  # jax.checkpoint each SPADE block
                                          # (trade FLOPs for HBM in training)

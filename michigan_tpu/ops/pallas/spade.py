@@ -221,13 +221,22 @@ def fused_instance_norm(
     hw = h * w
     cb = min(128, ((c + 127) // 128) * 128)
     c_pad = ((c + cb - 1) // cb) * cb
+    resident = hw * cb * 4 <= 5 * 1024 * 1024
 
-    # VMEM budget for whole-plane residency (~3x: in, out, temps); larger
-    # planes stream with the two-pass kernel
-    if hw * cb * 4 > 5 * 1024 * 1024:
-        return _streaming_instance_norm(x, gamma, beta, eps, act=act)
-    if _interpret() and n * (c_pad // cb) > MAX_INTERPRET_GRID_STEPS:
-        return _xla_instance_norm(x, gamma, beta, eps, act)
+    if not _interpret():
+        # Measured policy (PERF.md, TPU v5e, bs32 flagship shapes): the
+        # one-pass VMEM-resident kernel beats XLA 1.3x; the streaming
+        # two-pass kernel only matches it on aligned channels (1.13x) and
+        # LOSES end-to-end once the c<128 pad copy and the broken
+        # producer/consumer fusion are paid.  Compiled TPU therefore runs
+        # Pallas only for resident, lane-aligned planes.
+        if not resident or c % 128 != 0:
+            return _xla_instance_norm(x, gamma, beta, eps, act)
+    else:
+        if not resident:
+            return _streaming_instance_norm(x, gamma, beta, eps, act=act)
+        if n * (c_pad // cb) > MAX_INTERPRET_GRID_STEPS:
+            return _xla_instance_norm(x, gamma, beta, eps, act)
 
     xf = x.reshape(n, hw, c)
     if c_pad != c:
@@ -293,7 +302,11 @@ def spade_modulate(
     mean_p = jnp.pad(mean.astype(jnp.float32), (0, c_pad - c)).reshape(1, c_pad)
     inv_p = jnp.pad(invstd.astype(jnp.float32), (0, c_pad - c)).reshape(1, c_pad)
 
-    if _interpret() and r_pad // block_r > MAX_INTERPRET_GRID_STEPS:
+    unaligned = c % 128 != 0 or rows % block_r != 0
+    if (not _interpret() and unaligned) or (
+        _interpret() and r_pad // block_r > MAX_INTERPRET_GRID_STEPS
+    ):
+        # pad copies cost more than the fusion saves (PERF.md policy)
         m = mean.astype(jnp.float32).reshape(1, 1, 1, c)
         iv = invstd.astype(jnp.float32).reshape(1, 1, 1, c)
         return ((x - m) * iv * (1.0 + gamma) + beta).astype(x.dtype)

@@ -62,6 +62,9 @@ def test_spatial_sharded_most_config_matches():
         use_encoder=True, use_ig=False, noise_background=True,
         num_upsampling_layers="most", batchSize=1,
         expand_mask_be=True, expand_th=5,
+        # torch-default init keeps outputs O(1): the tolerance below is then
+        # meaningful (xavier gain .02 collapses random outputs to ~1e-3)
+        init_type="none",
     ).finalize()
     model = MichiGANModel(opt)
 
@@ -84,6 +87,10 @@ def test_spatial_sharded_most_config_matches():
     sharded_infer = make_spatial_infer(model, mesh)
     with mesh:
         out, _ = sharded_infer(variables, batch)
+    # 'most' adds one more up-block and partitioned stats at every scale;
+    # 8-way reduction reordering measured max |diff| 5e-3 on a +-0.95-range
+    # output, spread uniformly (NOT halo-localized — a real halo/layout bug
+    # shows O(0.1-1) banded errors).  1e-2 is the amplification-aware gate.
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+        np.asarray(out), np.asarray(ref), rtol=1e-2, atol=1e-2
     )
