@@ -32,7 +32,10 @@ def main():
     from michigan_tpu.model import MichiGANModel
 
     mode = os.environ.get("BENCH_MODE", "infer")
-    batch_size = int(os.environ.get("BENCH_BATCH", "8" if mode == "train" else "32"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    # BENCH_SIZE=1024 measures the 'most' stretch resolution (bs4 default)
+    default_bs = "8" if mode == "train" else ("4" if size >= 1024 else "32")
+    batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
     iters = int(os.environ.get("BENCH_ITERS", str(Options().bench_iters)))
     # bf16 activations win at every batch size (bs8: 76.7 vs 68.6 img/s;
     # bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at default XLA
@@ -43,12 +46,12 @@ def main():
 
     opt = Options(
         isTrain=(mode == "train"), phase="test", batchSize=batch_size,
-        crop_size=512, load_size=512, netG="spadeb", use_encoder=True,
+        crop_size=size, load_size=size, netG="spadeb", use_encoder=True,
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
         random_expand_mask=(mode == "train"),
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G)
         remat=(mode == "train" and os.environ.get("BENCH_REMAT", "1") == "1"),
-        num_upsampling_layers="more", dtype=dtype,
+        num_upsampling_layers="most" if size >= 1024 else "more", dtype=dtype,
         # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
         # (default matches the config default: off — PERF.md policy)
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
@@ -97,7 +100,7 @@ def main():
         dt = time.perf_counter() - t0
         imgs_per_sec = batch_size * iters / dt
         print(json.dumps({
-            "metric": "512px_train_step_throughput_bs%d" % batch_size,
+            "metric": "%dpx_train_step_throughput_bs%d" % (size, batch_size),
             "value": round(imgs_per_sec, 3),
             "unit": "images/sec/chip",
             "vs_baseline": None,
@@ -128,7 +131,7 @@ def main():
         except Exception:
             vs = None
     print(json.dumps({
-        "metric": "512px_batched_inference_throughput_bs%d" % batch_size,
+        "metric": "%dpx_batched_inference_throughput_bs%d" % (size, batch_size),
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": vs,

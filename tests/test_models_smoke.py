@@ -135,3 +135,37 @@ def test_vgg19_slices():
     outs = vgg.apply(v, x)
     assert [o.shape[-1] for o in outs] == [64, 128, 256, 512, 512]
     assert [o.shape[1] for o in outs] == [64, 32, 16, 8, 4]
+
+
+@pytest.mark.parametrize("extra", [
+    {"use_clip": True, "clip_th": 5.0},
+    {"bf_direct_add": True},
+    {"weight_norm_G": True},
+])
+def test_generator_flag_paths(extra):
+    """Config paths without dedicated round-1 coverage (ROADMAP): activation
+    clipping (generator.py:173-175), direct background add, weight-norm-G."""
+    opt = small_opt(**extra)
+    key = jax.random.PRNGKey(0)
+    gen = M.SPADEBGenerator(opt=opt)
+    inputs = gen_inputs(opt, key)
+    variables = gen.init(key, *inputs)
+    out = gen.apply(variables, *inputs)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generator_orient_disturb_needs_rng():
+    """--orient_random_disturb injects edge noise (generator.py:137-140):
+    output must differ from the undisturbed path and stay finite."""
+    opt = small_opt(orient_random_disturb=True, use_ig=False)
+    key = jax.random.PRNGKey(0)
+    gen = M.SPADEBGenerator(opt=opt)
+    inputs = gen_inputs(opt, key)
+    variables = gen.init(key, *inputs)
+    out_a = gen.apply(variables, *inputs, rngs={"disturb": jax.random.PRNGKey(1)},
+                      train=True)
+    opt2 = small_opt(orient_random_disturb=False, use_ig=False)
+    gen2 = M.SPADEBGenerator(opt=opt2)
+    out_b = gen2.apply(variables, *inputs, train=True)
+    assert np.isfinite(np.asarray(out_a)).all()
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
