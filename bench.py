@@ -55,6 +55,8 @@ def main():
         # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
         # (default matches the config default: off — PERF.md policy)
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # BENCH_REUSE_FAKE=1: D trains on the G step's fake (config docs)
+        reuse_fake_for_d=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
         donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
     model = MichiGANModel(opt)
@@ -87,8 +89,11 @@ def main():
         extra = jnp.asarray(2, jnp.int32)
 
         def one_step(state):
-            state, g_losses, _ = g_step(state, batch, key, extra)
-            state, d_losses = d_step(state, batch, key, extra)
+            state, g_losses, fake = g_step(state, batch, key, extra)
+            state, d_losses = d_step(
+                state, batch, key, extra,
+                fake=fake if opt.reuse_fake_for_d else None,
+            )
             return state, g_losses["GAN"]
 
         state, s0 = one_step(state)

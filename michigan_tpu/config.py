@@ -232,6 +232,12 @@ class Options:
     donate_buffers: bool = True
     remat: bool = False                  # jax.checkpoint each SPADE block
                                          # (trade FLOPs for HBM in training)
+    reuse_fake_for_d: bool = False       # D trains on the G step's fake image
+                                         # instead of recomputing it with the
+                                         # just-updated G (the reference
+                                         # recomputes, pix2pix_trainer.py:61-77)
+                                         # — skips the step's most expensive
+                                         # forward; documented divergence
 
     # ---- derived (finalize) ----
     semantic_nc: int = 2

@@ -455,17 +455,27 @@ class MichiGANModel:
 
     def discriminator_loss(
         self, variables, batch, rng, extra_dilate_steps=None, curr_step=None,
+        fake_image=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """When `fake_image` is provided (--reuse_fake_for_d), the generator
+        forward is skipped: D trains against the image the G step already
+        produced (pre-G-update weights).  The reference recomputes the fake
+        with post-update G (pix2pix_trainer.py:61-77) — a documented
+        divergence traded for skipping the most expensive forward (PERF.md
+        breakdown); off by default."""
         opt = self.opt
         if curr_step is None:
             curr_step = opt.curr_step
         pre = self.preprocess(batch)
         orient = self._orient_for_training(variables, pre)
-        fake, _, blend, _ = self.generate_fake(
-            variables, pre, orient, rng=rng, train=True, mutable=False,
-            extra_dilate_steps=extra_dilate_steps,
-        )
-        out_img = blend if opt.use_blender else fake
+        if fake_image is None:
+            fake, _, blend, _ = self.generate_fake(
+                variables, pre, orient, rng=rng, train=True, mutable=False,
+                extra_dilate_steps=extra_dilate_steps,
+            )
+            out_img = blend if opt.use_blender else fake
+        else:
+            out_img = fake_image
         out_img = jax.lax.stop_gradient(out_img)
 
         pred_fake, pred_real = self.discriminate(

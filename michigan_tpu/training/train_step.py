@@ -93,10 +93,10 @@ def make_train_steps(opt, mesh=None, ab_count=None):
 
         return g_step_local
 
-    def make_d_step_local(curr_step):
+    def make_d_step_local(curr_step, reuse_fake=False):
         d_name = "netD2" if (opt.unpairTrain and curr_step == 2) else "netD"
 
-        def d_step_local(state: TrainState, batch, rng, extra_dilate):
+        def body(state: TrainState, batch, rng, extra_dilate, fake):
             if axis is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
@@ -104,7 +104,7 @@ def make_train_steps(opt, mesh=None, ab_count=None):
                 variables = _merge_params(state.variables, d_params)
                 total, losses = model.discriminator_loss(
                     variables, batch, rng, extra_dilate_steps=extra_dilate,
-                    curr_step=curr_step,
+                    curr_step=curr_step, fake_image=fake,
                 )
                 return total, losses
 
@@ -126,17 +126,25 @@ def make_train_steps(opt, mesh=None, ab_count=None):
                 state = state.replace(variables=variables, opt_d_state=new_opt_state)
             return state, losses
 
+        if reuse_fake:
+            def d_step_local(state, batch, rng, extra_dilate, fake):
+                return body(state, batch, rng, extra_dilate, fake)
+        else:
+            def d_step_local(state, batch, rng, extra_dilate):
+                return body(state, batch, rng, extra_dilate, None)
+
         return d_step_local
 
     donate = (0,) if opt.donate_buffers else ()
     batch_spec = P(DATA_AXIS)
     rep = P()
 
-    def compile_step(fn, out_specs):
+    def compile_step(fn, out_specs, n_extra_sharded=0):
         if mesh is not None:
+            in_specs = (rep, batch_spec, rep, rep) + (batch_spec,) * n_extra_sharded
             fn = shard_map(
                 fn, mesh=mesh,
-                in_specs=(rep, batch_spec, rep, rep),
+                in_specs=in_specs,
                 out_specs=out_specs,
                 check_rep=False,
             )
@@ -150,15 +158,28 @@ def make_train_steps(opt, mesh=None, ab_count=None):
     d_steps = {
         s: compile_step(make_d_step_local(s), (rep, rep)) for s in stages
     }
+    # --reuse_fake_for_d: D trains on the G step's fake (skips the generator
+    # forward — the most expensive op in the step, PERF.md); not available
+    # with use_blender (the G step's aux output is the pre-blend fake)
+    d_steps_reuse = {}
+    if getattr(opt, "reuse_fake_for_d", False) and not opt.use_blender:
+        d_steps_reuse = {
+            s: compile_step(
+                make_d_step_local(s, reuse_fake=True), (rep, rep),
+                n_extra_sharded=1,
+            )
+            for s in stages
+        }
 
     def g_step(state, batch, rng, extra_dilate):
         return g_steps[opt.curr_step if opt.unpairTrain else 1](
             state, batch, rng, extra_dilate
         )
 
-    def d_step(state, batch, rng, extra_dilate):
-        return d_steps[opt.curr_step if opt.unpairTrain else 1](
-            state, batch, rng, extra_dilate
-        )
+    def d_step(state, batch, rng, extra_dilate, fake=None):
+        s = opt.curr_step if opt.unpairTrain else 1
+        if fake is not None and s in d_steps_reuse:
+            return d_steps_reuse[s](state, batch, rng, extra_dilate, fake)
+        return d_steps[s](state, batch, rng, extra_dilate)
 
     return model, g_step, d_step

@@ -159,3 +159,31 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored["variables"]["netG"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored["step"]) == 1
+
+
+def test_reuse_fake_for_d_matches_recompute():
+    """--reuse_fake_for_d: feeding d_step the CURRENT-weights fake must give
+    exactly the losses of the recompute path (proves only the generator
+    forward is skipped, nothing else changes)."""
+    opt = tiny_opt(reuse_fake_for_d=True)
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(1, jnp.int32)
+
+    # fake from the current weights, exactly as discriminator_loss builds it
+    pre = model.preprocess(batch)
+    orient = model._orient_for_training(state.variables, pre)
+    fake, _, _, _ = model.generate_fake(
+        state.variables, pre, orient, rng=rng, train=True, mutable=False,
+        extra_dilate_steps=extra,
+    )
+    _, losses_reuse = d_step(state, batch, rng, extra, fake=fake)
+    _, losses_recompute = d_step(state, batch, rng, extra)
+    for k in losses_recompute:
+        np.testing.assert_allclose(
+            np.asarray(losses_reuse[k]), np.asarray(losses_recompute[k]),
+            rtol=1e-5, atol=1e-6,
+        )

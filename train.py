@@ -126,7 +126,9 @@ def main(argv=None):
             if i % opt.D_steps_per_G == 0:
                 state, g_losses, fake = g_step(state, batch, step_rng, extra)
             if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
-                state, d_losses = d_step(state, batch, step_rng, extra)
+                reuse = fake if opt.reuse_fake_for_d else None
+                state, d_losses = d_step(state, batch, step_rng, extra,
+                                         fake=reuse)
 
             if opt.debug_nans and (g_losses or d_losses):
                 for k, v in {**g_losses, **d_losses}.items():
