@@ -91,7 +91,14 @@ class PaintScene(QGraphicsScene):
         return masks
 
 
+BRUSH_SIZES = (2, 6, 12, 24, 48)  # reference ui/mouse_event.py stroke widths
+
+
 class DemoWindow(QWidget):
+    """Five-view layout mirroring the reference ui/ui4.py: paintable tag
+    mask, inpainted-orientation view, result view, plus tag/ref thumbnails;
+    per-mode brush sizes and undo (ui/mouse_event.py)."""
+
     def __init__(self, opt):
         super().__init__()
         self.opt = opt
@@ -100,9 +107,15 @@ class DemoWindow(QWidget):
         self.ref_name = None
         self.setWindowTitle("MichiGAN-TPU demo")
 
+        # five views (ui4.py:8-248): mask paint scene + orient + result
+        # scenes, tag/ref thumbnails
         self.scene = PaintScene()
         self.view = QGraphicsView(self.scene)
+        self.orient_scene = QGraphicsScene()
+        self.orient_view = QGraphicsView(self.orient_scene)
         self.result_label = QLabel("result")
+        self.tag_thumb = QLabel("target")
+        self.ref_thumb = QLabel("reference")
 
         buttons = [
             ("Open target", self.open_target),
@@ -110,6 +123,8 @@ class DemoWindow(QWidget):
             ("Paint hair", lambda: self.set_mode(MODE_HAIR)),
             ("Paint background", lambda: self.set_mode(MODE_BG)),
             ("Paint stroke", lambda: self.set_mode(MODE_STROKE)),
+            ("Brush +", lambda: self.step_brush(+1)),
+            ("Brush -", lambda: self.step_brush(-1)),
             ("Undo", self.scene.undo),
             ("Edit", self.edit),
             ("Save", self.save),
@@ -119,14 +134,29 @@ class DemoWindow(QWidget):
             b = QPushButton(name)
             b.clicked.connect(cb)
             btn_col.addWidget(b)
+        views = QVBoxLayout()
+        views.addWidget(self.orient_view)
+        views.addWidget(self.tag_thumb)
+        views.addWidget(self.ref_thumb)
         lay = QHBoxLayout(self)
         lay.addWidget(self.view)
+        lay.addLayout(views)
         lay.addLayout(btn_col)
         lay.addWidget(self.result_label)
         self.result = None
+        self.orient_rgb = None
 
     def set_mode(self, mode):
         self.scene.mode = mode
+
+    def step_brush(self, direction):
+        """Cycle the active mode's brush through the reference widths."""
+        sizes = list(BRUSH_SIZES)
+        try:
+            i = sizes.index(self.scene.size)
+        except ValueError:
+            i = min(range(len(sizes)), key=lambda j: abs(sizes[j] - self.scene.size))
+        self.scene.size = sizes[max(0, min(len(sizes) - 1, i + direction))]
 
     def _load(self, title):
         path, _ = QFileDialog.getOpenFileName(self, title, self.opt.demo_data_dir)
@@ -140,9 +170,14 @@ class DemoWindow(QWidget):
             )
             self.scene.clear()
             self.scene.addPixmap(QPixmap(img_path))
+            self.tag_thumb.setPixmap(QPixmap(img_path))
 
     def open_reference(self):
         self.ref_name = self._load("reference image")
+        if self.ref_name:
+            self.ref_thumb.setPixmap(QPixmap(os.path.join(
+                self.opt.demo_data_dir, "images", self.ref_name + ".jpg"
+            )))
 
     def edit(self):
         if not (self.tag_name and self.ref_name):
@@ -170,20 +205,29 @@ class DemoWindow(QWidget):
         if masks[MODE_STROKE].any():
             stroke = masks[MODE_STROKE] * label
             hole = dilate_hole(stroke, 50) * label
-            self.result, _, _ = self.engine.edit(
+            self.result, self.orient_rgb, _ = self.engine.edit(
                 os.path.join(d, "labels", self.ref_name + ".png"),
                 label, label * (1 - hole), tag_orient, ref_img, tag_img,
                 orient_stroke=stroke_to_orient(stroke), mask_stroke=stroke,
                 mask_hole=hole, inpaint_mode="stroke",
             )
         else:
-            self.result, _, _ = self.engine.edit(
+            self.result, self.orient_rgb, _ = self.engine.edit(
                 os.path.join(d, "labels", self.ref_name + ".png"),
                 label, label, tag_orient, ref_img, tag_img, inpaint_mode="ref",
             )
         h, w, _ = self.result.shape
         qimg = QImage(self.result.tobytes(), w, h, 3 * w, QImage.Format_RGB888)
         self.result_label.setPixmap(QPixmap.fromImage(qimg))
+        if self.orient_rgb is not None:
+            # show the inpainted orientation like the reference's orient view
+            orgb = np.ascontiguousarray(
+                (np.clip(np.asarray(self.orient_rgb), 0, 1) * 255).astype(np.uint8)
+            )
+            oh, ow, _ = orgb.shape
+            oimg = QImage(orgb.tobytes(), ow, oh, 3 * ow, QImage.Format_RGB888)
+            self.orient_scene.clear()
+            self.orient_scene.addPixmap(QPixmap.fromImage(oimg))
 
     def save(self):
         if self.result is not None:

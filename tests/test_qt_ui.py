@@ -244,3 +244,23 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)
     win.save()
     assert os.path.exists("./inference_samples/demo_edit.jpg")
+
+
+def test_brush_size_stepping(fake_qt, monkeypatch):
+    from michigan_tpu.demo import qt_ui
+
+    monkeypatch.setattr(qt_ui, "DemoEngine", _FakeEngine)
+    win = qt_ui.DemoWindow(_demo_opt())
+    assert win.scene.size == 6
+    win.step_brush(+1)
+    assert win.scene.size == 12
+    win.step_brush(-1)
+    win.step_brush(-1)
+    assert win.scene.size == 2
+    win.step_brush(-1)  # clamped at the smallest reference width
+    assert win.scene.size == 2
+    # strokes record the active size
+    win.scene.mousePressEvent(_Event(0, 0))
+    win.scene.mouseMoveEvent(_Event(3, 3))
+    win.scene.mouseReleaseEvent(_Event(3, 3))
+    assert win.scene.strokes[qt_ui.MODE_HAIR][-1][1] == 2
