@@ -232,6 +232,9 @@ class Options:
     donate_buffers: bool = True
     remat: bool = False                  # jax.checkpoint each SPADE block
                                          # (trade FLOPs for HBM in training)
+    multihost: bool = False              # jax.distributed.initialize() at
+                                         # startup (multi-host DCN training;
+                                         # also via MICHIGAN_MULTIHOST=1)
     reuse_fake_for_d: bool = False       # D trains on the G step's fake image
                                          # instead of recomputing it with the
                                          # just-updated G (the reference

@@ -102,7 +102,9 @@ class DemoWindow(QWidget):
     def __init__(self, opt):
         super().__init__()
         self.opt = opt
-        self.engine = DemoEngine(opt)
+        # precompile both inpaint modes so the FIRST user edit already hits
+        # the steady-state latency (23.5 ms device-side on v5e — README)
+        self.engine = DemoEngine(opt, precompile=True)
         self.tag_name = None
         self.ref_name = None
         self.setWindowTitle("MichiGAN-TPU demo")

@@ -146,7 +146,7 @@ class _Event:
 
 
 class _FakeEngine:
-    def __init__(self, opt):
+    def __init__(self, opt, **kwargs):
         self.calls = []
 
     def edit(self, ref_label_path, label, mask_orient, orient, ref_img,

@@ -34,6 +34,17 @@ def main(argv=None):
     opt = train_options(argv)
     print(" ".join(sys.argv))
 
+    # multi-host (DCN) training: one process per host, same command on each,
+    # coordinator from the standard JAX env (JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the TPU metadata server).
+    # Must run before any other jax API touches the backend.
+    if opt.multihost or os.environ.get("MICHIGAN_MULTIHOST") == "1":
+        jax.distributed.initialize()
+        print(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local of {jax.device_count()} devices"
+        )
+
     # persist the experiment options (reference base_options.py:186-197)
     opt.save(os.path.join(opt.checkpoints_dir, opt.name, "opt.json"))
 
