@@ -11,17 +11,27 @@ import numpy as np
 
 _CITYSCAPES_35 = np.array(
     [
-        (0, 0, 0), (111, 74, 0), (81, 0, 81), (128, 64, 128), (244, 35, 232),
-        (250, 170, 160), (230, 150, 140), (70, 70, 70), (102, 102, 156),
-        (190, 153, 153), (180, 165, 180), (150, 100, 100), (150, 120, 90),
-        (153, 153, 153), (153, 153, 153), (250, 170, 30), (220, 220, 0),
-        (107, 142, 35), (152, 251, 152), (70, 130, 180), (220, 20, 60),
-        (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 0, 90),
-        (0, 0, 110), (0, 80, 100), (0, 0, 230), (119, 11, 32), (0, 0, 142),
-        (0, 0, 142), (0, 0, 142), (0, 0, 142), (0, 0, 142),
+        (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0), (111, 74, 0),
+        (81, 0, 81), (128, 64, 128), (244, 35, 232), (250, 170, 160),
+        (230, 150, 140), (70, 70, 70), (102, 102, 156), (190, 153, 153),
+        (180, 165, 180), (150, 100, 100), (150, 120, 90), (153, 153, 153),
+        (153, 153, 153), (250, 170, 30), (220, 220, 0), (107, 142, 35),
+        (152, 251, 152), (70, 130, 180), (220, 20, 60), (255, 0, 0),
+        (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 0, 90), (0, 0, 110),
+        (0, 80, 100), (0, 0, 230), (119, 11, 32), (0, 0, 142),
     ],
     dtype=np.uint8,
 )
+
+# COCO-stuff (N=182) perceptual overrides (util/util.py:320-328 via
+# util/coco.py id2label): index = coco label id - 1
+_COCO_IMPORTANT = {
+    105: (170, 170, 170),  # clouds
+    123: (29, 195, 49),    # grass
+    154: (54, 62, 167),    # sea
+    156: (95, 219, 255),   # sky-other
+    168: (140, 104, 47),   # tree
+}
 
 
 def _bitget(byteval: int, idx: int) -> int:
@@ -42,6 +52,9 @@ def labelcolormap(n: int) -> np.ndarray:
             b = b | (_bitget(c, 2) << (7 - j))
             c = c >> 3
         cmap[i] = (r, g, b)
+    if n == 182:  # COCO-stuff overrides (util/util.py:320-328)
+        for i, color in _COCO_IMPORTANT.items():
+            cmap[i] = color
     return cmap
 
 

@@ -59,3 +59,44 @@ def test_imaging_helpers():
     assert img.dtype == np.uint8 and img[0, 0, 0] == 127
     padded = np.pad(np.ones((4, 4, 3)), ((2, 2), (2, 2), (0, 0)))
     assert crop_feat_pad(padded, 4, 4).shape == (4, 4, 3)
+
+
+def test_labelcolormap_matches_reference():
+    """Palette parity vs the reference implementation (util/util.py:293-328)
+    for the generic bit-twiddle, the 35-class Cityscapes table, and the
+    COCO-182 important-color overrides."""
+    import numpy as np
+
+    from michigan_tpu.utils.colormap import labelcolormap
+
+    def ref_labelcolormap(N):
+        def uint82bin(n, count=8):
+            return "".join(str((n >> y) & 1) for y in range(count - 1, -1, -1))
+
+        cmap = np.zeros((N, 3), dtype=np.uint8)
+        for i in range(N):
+            r = g = b = 0
+            id_ = i + 1
+            for j in range(7):
+                s = uint82bin(id_)
+                r = r ^ (np.uint8(s[-1]) << (7 - j))
+                g = g ^ (np.uint8(s[-2]) << (7 - j))
+                b = b ^ (np.uint8(s[-3]) << (7 - j))
+                id_ = id_ >> 3
+            cmap[i] = (r, g, b)
+        return cmap
+
+    for n in (2, 20, 150, 182):
+        ours = labelcolormap(n)
+        ref = ref_labelcolormap(n)
+        if n == 182:
+            for i, c in {105: (170, 170, 170), 123: (29, 195, 49),
+                         154: (54, 62, 167), 156: (95, 219, 255),
+                         168: (140, 104, 47)}.items():
+                ref[i] = c
+        np.testing.assert_array_equal(ours, ref)
+
+    cs = labelcolormap(35)
+    assert (cs[:5] == 0).all()           # five leading unlabeled entries
+    assert tuple(cs[5]) == (111, 74, 0)  # then the Cityscapes palette
+    assert tuple(cs[34]) == (0, 0, 142)
