@@ -129,6 +129,38 @@ def test_released_checkpoint_psnr():
     assert psnr(img, gold) > 40.0
 
 
+
+def test_batch_inference_renders_val_list(tmp_path, monkeypatch):
+    """--batch_inference: renders every val-list name in compiled batches,
+    padding the tail batch to the compiled shape (inference.py)."""
+    import dataclasses
+
+    from inference import batch_inference
+    from michigan_tpu.model import MichiGANModel
+
+    opt = dataclasses.replace(
+        golden_opt(), crop_size=128, load_size=128, batchSize=2,
+        add_feat_zeros=False, use_ig=True,
+        results_dir=str(tmp_path / "out"),
+        val_list_dir=str(tmp_path / "val.txt"),
+        how_many=3,
+    ).finalize()
+    # 3 names, batch 2 -> one full batch + a padded tail batch
+    with open(opt.val_list_dir, "w") as f:
+        f.write("67172\n67172\n67172\n")
+
+    model = MichiGANModel(opt)
+    from michigan_tpu.data.single import single_inference_data
+
+    data = single_inference_data(opt)
+    batch = {
+        k: jnp.asarray(v) for k, v in data.items() if isinstance(v, np.ndarray)
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    batch_inference(opt, model, variables, rng)
+    rendered = sorted(os.listdir(opt.results_dir))
+    assert rendered == ["67172.jpg"]  # same name overwritten 3x, but rendered
 if __name__ == "__main__":
     # regenerate the golden fixture (run on the CPU backend like the tests)
     img = run_pipeline(golden_opt())
