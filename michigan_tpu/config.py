@@ -230,7 +230,10 @@ class Options:
                                          # A/B: 49-58 vs 89 img/s), so off by
                                          # default; kernels stay tested
     donate_buffers: bool = True
-    remat: bool = False                  # jax.checkpoint each SPADE block
+    remat: bool = False                  # jax.checkpoint SPADE blocks
+    # which blocks to remat ("all" or comma list, e.g. "up_1,up_2,up_3" —
+    # the high-res blocks hold nearly all activation memory)
+    remat_blocks: str = "all"
                                          # (trade FLOPs for HBM in training)
     multihost: bool = False              # jax.distributed.initialize() at
                                          # startup (multi-host DCN training;

@@ -119,11 +119,19 @@ class SPADEBGenerator(nn.Module):
         else:
             hair_masks = [hm[2], hm[1], hm[0], hair_mask]
 
+        remat_sel = getattr(opt, "remat_blocks", "all")
+        remat_names = None if remat_sel == "all" else set(
+            s for s in remat_sel.split(",") if s
+        )
+
         def block(name, fin, fout):
             cls = SPADEResnetBlock
-            if getattr(opt, "remat", False) and train:
-                # rematerialize each SPADE block's activations in the
-                # backward pass (HBM for FLOPs; SURVEY §7 hard-parts)
+            selected = remat_names is None or name in remat_names
+            if getattr(opt, "remat", False) and train and selected:
+                # rematerialize this SPADE block's activations in the
+                # backward pass (HBM for FLOPs; SURVEY §7 hard-parts).
+                # --remat_blocks selects which (high-res blocks hold nearly
+                # all the memory; skipping the small ones skips recompute)
                 # flax remat argnums count `self` as position 0
                 cls = nn.remat(SPADEResnetBlock, static_argnums=(3,))
             return cls(fin, fout, opt, self.axis_name, name=name)

@@ -86,7 +86,9 @@ def rgb_to_gray255(image_pm1: jax.Array) -> jax.Array:
     return gray[..., None]
 
 
-def filter_bank_conv(gray: jax.Array, bank: jnp.ndarray, padding: int = 8) -> jax.Array:
+def filter_bank_conv_direct(
+    gray: jax.Array, bank: jnp.ndarray, padding: int = 8
+) -> jax.Array:
     """One conv over the whole bank: (N,H,W,1) -> (N,H,W,num)."""
     return jax.lax.conv_general_dilated(
         gray.astype(jnp.float32),
@@ -98,6 +100,100 @@ def filter_bank_conv(gray: jax.Array, bank: jnp.ndarray, padding: int = 8) -> ja
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _s2d_bank_np(mode: str, kernel_size: int, num: int, block: int):
+    """Space-to-depth transform of the (K,K,1,num) bank.
+
+    A C_in=1 KxK conv is pathological on the MXU (1/64 sublane utilization,
+    K*K degenerate per-tap matmuls).  The exact same map, expressed on the
+    block-reduced grid, is a K'xK' conv with block^2 input channels and
+    block^2*num output channels — MXU-shaped.  Derivation: with r = K//2 and
+    output pixel p = block*P + u, the input index p + i - r = block*I + a
+    splits into a reduced-cell offset I and an intra-block channel a, so
+
+        W[I-Imin, J-Jmin, a*block+c, (u*block+v)*num + o] = k[i, j, o].
+
+    Returns (W, pad_lo, pad_hi) with the reduced-grid padding that
+    reproduces 'same' zero padding of r full-resolution pixels.
+    """
+    if mode == "gabor":
+        k = _gabor_bank_np(kernel_size, num)
+    else:
+        k = _dog_bank_np(kernel_size, num)
+    r = kernel_size // 2
+    i_min = -((r + block - 1) // block)  # floor(-r/block)
+    i_max = (block - 1 + kernel_size - 1 - r) // block
+    kp = i_max - i_min + 1
+    w = np.zeros((kp, kp, block * block, block * block * num), np.float32)
+    for u in range(block):
+        for i in range(kernel_size):
+            t = u + i - r
+            big_i = t // block
+            a = t - big_i * block
+            for v in range(block):
+                for j in range(kernel_size):
+                    s = v + j - r
+                    big_j = s // block
+                    c = s - big_j * block
+                    w[
+                        big_i - i_min,
+                        big_j - i_min,
+                        a * block + c,
+                        (u * block + v) * num : (u * block + v + 1) * num,
+                    ] = k[i, j, 0, :]
+    return w, -i_min, i_max
+
+
+def filter_bank_conv_s2d(
+    gray: jax.Array, mode: str, padding: int = 8, block: int = 8,
+    kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS,
+) -> jax.Array:
+    """MXU-friendly filter-bank conv via space-to-depth (exact same math).
+
+    Only valid for 'same' padding (padding == kernel_size//2); arbitrary
+    H,W handled by zero pad + crop (identical to 'same' zero padding).
+    """
+    assert padding == kernel_size // 2
+    w_np, pad_lo, pad_hi = _s2d_bank_np(mode, kernel_size, num, block)
+    n, h, wd, _ = gray.shape
+    hp = -(-h // block) * block
+    wp = -(-wd // block) * block
+    g = gray.astype(jnp.float32)
+    if hp != h or wp != wd:
+        g = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+    x = g.reshape(n, hp // block, block, wp // block, block)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(
+        n, hp // block, wp // block, block * block
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(w_np),
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = y.reshape(n, hp // block, wp // block, block, block, num)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, num)
+    return y[:, :h, :wd, :]
+
+
+# s2d path measured faster on TPU (MXU-shaped); flip here to fall back.
+USE_S2D = True
+
+
+def filter_bank_conv(
+    gray: jax.Array, bank: jnp.ndarray, padding: int = 8,
+    mode: str | None = None,
+) -> jax.Array:
+    if USE_S2D and mode is not None and padding == bank.shape[0] // 2:
+        return filter_bank_conv_s2d(
+            gray, mode, padding,
+            kernel_size=bank.shape[0], num=bank.shape[3],
+        )
+    return filter_bank_conv_direct(gray, bank, padding)
+
+
 def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8):
     """Per-pixel (argmax index, raw max response) over the oriented bank.
 
@@ -106,7 +202,7 @@ def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8)
     torch.argmax on CPU.
     """
     bank = gabor_bank() if mode == "gabor" else dog_bank()
-    res = filter_bank_conv(gray, bank, padding)
+    res = filter_bank_conv(gray, bank, padding, mode=mode)
     res = jnp.maximum(res, 0.0)
     idx = jnp.argmax(res, axis=-1)
     raw_conf = jnp.max(res, axis=-1)

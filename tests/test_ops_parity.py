@@ -7,6 +7,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from michigan_tpu.ops import resize as R
@@ -151,6 +152,23 @@ def test_orientation_response_matches_looped_conv(rng):
     # argmax may differ only where responses tie within float tolerance
     mismatch = (np.asarray(idx) != idx_ref).mean()
     assert mismatch < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["gabor", "dog"])
+@pytest.mark.parametrize("shape", [(2, 64, 64, 1), (1, 37, 51, 1)])
+def test_filter_bank_s2d_equals_direct(rng, mode, shape):
+    """The MXU-shaped space-to-depth conv is the exact same map as the
+    direct C_in=1 17x17 conv (filters.py filter_bank_conv_s2d) — identical
+    up to fp32 reassociation, including at non-block-divisible sizes."""
+    g = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    bank = FB.gabor_bank() if mode == "gabor" else FB.dog_bank()
+    direct = np.asarray(FB.filter_bank_conv_direct(g, bank))
+    s2d = np.asarray(FB.filter_bank_conv_s2d(g, mode))
+    np.testing.assert_allclose(s2d, direct, rtol=1e-4, atol=2e-2)
+    # gradients flow identically through pad/reshape/conv
+    gd = jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_direct(x, bank) ** 2))(g)
+    gs = jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_s2d(x, mode) ** 2))(g)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-3, atol=2e-1)
 
 
 def test_instance_norm(rng):
