@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,31 +101,31 @@ def filter_bank_conv_direct(
     )
 
 
-@functools.lru_cache(maxsize=8)
-def _s2d_bank_np(mode: str, kernel_size: int, num: int, block: int):
-    """Space-to-depth transform of the (K,K,1,num) bank.
+def _s2d_kernel_np(k: np.ndarray, block: int):
+    """Space-to-depth transform of an arbitrary (K,K,Cin,Cout) HWIO kernel.
 
-    A C_in=1 KxK conv is pathological on the MXU (1/64 sublane utilization,
-    K*K degenerate per-tap matmuls).  The exact same map, expressed on the
-    block-reduced grid, is a K'xK' conv with block^2 input channels and
-    block^2*num output channels — MXU-shaped.  Derivation: with r = K//2 and
-    output pixel p = block*P + u, the input index p + i - r = block*I + a
-    splits into a reduced-cell offset I and an intra-block channel a, so
+    A small-channel KxK conv is pathological on the MXU (poor sublane
+    utilization, K*K degenerate per-tap matmuls).  The exact same map,
+    expressed on the block-reduced grid, is a K'xK' conv with block^2*Cin
+    input channels and block^2*Cout output channels — MXU-shaped.
+    Derivation: with r = K//2 and output pixel p = block*P + u, the input
+    index p + i - r = block*I + a splits into a reduced-cell offset I and
+    an intra-block position a, so
 
-        W[I-Imin, J-Jmin, a*block+c, (u*block+v)*num + o] = k[i, j, o].
+        W[I-Imin, J-Jmin, (a*block+c)*Cin + ci, ((u*block+v)*Cout) + co]
+            = k[i, j, ci, co].
 
     Returns (W, pad_lo, pad_hi) with the reduced-grid padding that
     reproduces 'same' zero padding of r full-resolution pixels.
     """
-    if mode == "gabor":
-        k = _gabor_bank_np(kernel_size, num)
-    else:
-        k = _dog_bank_np(kernel_size, num)
+    kernel_size, _, cin, cout = k.shape
     r = kernel_size // 2
     i_min = -((r + block - 1) // block)  # floor(-r/block)
     i_max = (block - 1 + kernel_size - 1 - r) // block
     kp = i_max - i_min + 1
-    w = np.zeros((kp, kp, block * block, block * block * num), np.float32)
+    w = np.zeros(
+        (kp, kp, block * block * cin, block * block * cout), np.float32
+    )
     for u in range(block):
         for i in range(kernel_size):
             t = u + i - r
@@ -135,13 +136,99 @@ def _s2d_bank_np(mode: str, kernel_size: int, num: int, block: int):
                     s = v + j - r
                     big_j = s // block
                     c = s - big_j * block
+                    ic = (a * block + c) * cin
+                    oc = (u * block + v) * cout
                     w[
-                        big_i - i_min,
-                        big_j - i_min,
-                        a * block + c,
-                        (u * block + v) * num : (u * block + v + 1) * num,
-                    ] = k[i, j, 0, :]
+                        big_i - i_min, big_j - i_min,
+                        ic : ic + cin, oc : oc + cout,
+                    ] = k[i, j]
     return w, -i_min, i_max
+
+
+@functools.lru_cache(maxsize=8)
+def _s2d_bank_np(mode: str, kernel_size: int, num: int, block: int):
+    """s2d transform of the (K,K,1,num) oriented bank (see _s2d_kernel_np)."""
+    if mode == "gabor":
+        k = _gabor_bank_np(kernel_size, num)
+    else:
+        k = _dog_bank_np(kernel_size, num)
+    return _s2d_kernel_np(k, block)
+
+
+@functools.lru_cache(maxsize=8)
+def _s2d_bank_transpose_np(mode: str, kernel_size: int, num: int, block: int):
+    """s2d transform of the bank's transpose map (for the conv's input-VJP):
+    spatially flipped, in/out channels swapped -> (K,K,num,1)."""
+    if mode == "gabor":
+        k = _gabor_bank_np(kernel_size, num)
+    else:
+        k = _dog_bank_np(kernel_size, num)
+    kt = np.ascontiguousarray(k[::-1, ::-1].transpose(0, 1, 3, 2))
+    return _s2d_kernel_np(kt, block)
+
+
+def _s2d_conv_apply(x, w_np, pad_lo, pad_hi, block, precision):
+    """Apply an s2d-transformed kernel: pad -> s2d -> conv -> d2s -> crop."""
+    cout = w_np.shape[3] // (block * block)
+    n, h, wd, cin = x.shape
+    hp = -(-h // block) * block
+    wp = -(-wd // block) * block
+    g = x.astype(jnp.float32)
+    if hp != h or wp != wd:
+        g = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+    g = g.reshape(n, hp // block, block, wp // block, block, cin)
+    g = g.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, hp // block, wp // block, block * block * cin
+    )
+    y = jax.lax.conv_general_dilated(
+        g,
+        jnp.asarray(w_np),
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    y = y.reshape(n, hp // block, wp // block, block, block, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, cout)
+    return y[:, :h, :wd, :]
+
+
+def _filter_bank_conv_s2d_impl(
+    gray: jax.Array, mode: str, padding: int, block: int,
+    kernel_size: int, num: int, precision,
+) -> jax.Array:
+    assert padding == kernel_size // 2
+    w_np, pad_lo, pad_hi = _s2d_bank_np(mode, kernel_size, num, block)
+    return _s2d_conv_apply(gray, w_np, pad_lo, pad_hi, block, precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _fb_s2d_core(gray, mode, padding, block, kernel_size, num):
+    return _filter_bank_conv_s2d_impl(
+        gray, mode, padding, block, kernel_size, num,
+        jax.lax.Precision.HIGHEST,
+    )
+
+
+def _fb_s2d_fwd(gray, mode, padding, block, kernel_size, num):
+    out = _fb_s2d_core(gray, mode, padding, block, kernel_size, num)
+    return out, None
+
+
+def _fb_s2d_bwd(mode, padding, block, kernel_size, num, _res, g):
+    # the conv's input-VJP is itself a 'same'-pad correlation — with the
+    # spatially-flipped, io-swapped bank — so run it as a forward s2d conv
+    # rather than XLA's conv-transpose lowering (measured faster)
+    w_np, pad_lo, pad_hi = _s2d_bank_transpose_np(
+        mode, kernel_size, num, block
+    )
+    dgray = _s2d_conv_apply(
+        g, w_np, pad_lo, pad_hi, block, jax.lax.Precision.DEFAULT
+    )
+    return (dgray,)
+
+
+_fb_s2d_core.defvjp(_fb_s2d_fwd, _fb_s2d_bwd)
 
 
 def filter_bank_conv_s2d(
@@ -152,34 +239,20 @@ def filter_bank_conv_s2d(
 
     Only valid for 'same' padding (padding == kernel_size//2); arbitrary
     H,W handled by zero pad + crop (identical to 'same' zero padding).
+
+    Forward runs fp32-HIGHEST (per-pixel argmax over near-tie orientation
+    responses needs it); the backward — a linear transpose — runs at
+    default TPU precision (bf16 MXU passes), which only perturbs the loss
+    gradient, not the selected orientations.
     """
-    assert padding == kernel_size // 2
-    w_np, pad_lo, pad_hi = _s2d_bank_np(mode, kernel_size, num, block)
-    n, h, wd, _ = gray.shape
-    hp = -(-h // block) * block
-    wp = -(-wd // block) * block
-    g = gray.astype(jnp.float32)
-    if hp != h or wp != wd:
-        g = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
-    x = g.reshape(n, hp // block, block, wp // block, block)
-    x = x.transpose(0, 1, 3, 2, 4).reshape(
-        n, hp // block, wp // block, block * block
+    return _fb_s2d_core(
+        gray.astype(jnp.float32), mode, padding, block, kernel_size, num
     )
-    y = jax.lax.conv_general_dilated(
-        x,
-        jnp.asarray(w_np),
-        window_strides=(1, 1),
-        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    y = y.reshape(n, hp // block, wp // block, block, block, num)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, num)
-    return y[:, :h, :wd, :]
 
 
-# s2d path measured faster on TPU (MXU-shaped); flip here to fall back.
-USE_S2D = True
+# s2d path measured 9x faster fwd on TPU (MXU-shaped; PERF.md);
+# MICHIGAN_FILTERBANK=direct falls back for A/B.
+USE_S2D = os.environ.get("MICHIGAN_FILTERBANK", "s2d") != "direct"
 
 
 def filter_bank_conv(
