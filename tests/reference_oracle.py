@@ -35,7 +35,12 @@ def import_reference():
     """Returns the reference's models.networks package, CPU-importable."""
     _install_stubs()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # append, never prepend: the reference root also contains top-level
+        # modules named inference/train/demo/cal_orientation, and prepending
+        # would shadow the repo's own entry points for every later test in
+        # the session (observed: `from inference import batch_inference`
+        # resolving into /root/reference once an oracle test ran first)
+        sys.path.append(REFERENCE_ROOT)
     import models.networks.generator as ref_gen
     import models.networks.discriminator as ref_disc
     import models.networks.encoder as ref_enc
