@@ -93,10 +93,11 @@ def main():
         extra = jnp.asarray(2, jnp.int32)
 
         def one_step(state):
-            state, g_losses, fake = g_step(state, batch, key, extra)
+            state, g_losses, fake, orient = g_step(state, batch, key, extra)
             state, d_losses = d_step(
                 state, batch, key, extra,
                 fake=fake if opt.reuse_fake_for_d else None,
+                orient=orient,
             )
             return state, g_losses["GAN"]
 

@@ -239,6 +239,9 @@ class Options:
                                          # startup (multi-host DCN training;
                                          # also via MICHIGAN_MULTIHOST=1)
     reuse_fake_for_d: bool = False       # D trains on the G step's fake image
+    # D step reuses the G step's frozen-IG inpainted orientation — bit-exact
+    # (pure function of frozen weights + batch), skips one IG forward/step
+    reuse_orient_for_d: bool = True
                                          # instead of recomputing it with the
                                          # just-updated G (the reference
                                          # recomputes, pix2pix_trainer.py:61-77)

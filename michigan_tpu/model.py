@@ -451,23 +451,33 @@ class MichiGANModel:
             )
 
         total = sum(losses.values())
-        return total, (losses, fake, updates)
+        # orient is exposed so the D step can reuse it: the IG inpainting is
+        # a pure function of frozen weights + the batch, so reusing it is
+        # bit-exact, unlike --reuse_fake_for_d (config: reuse_orient_for_d)
+        return total, (losses, fake, updates, jax.lax.stop_gradient(orient))
 
     def discriminator_loss(
         self, variables, batch, rng, extra_dilate_steps=None, curr_step=None,
-        fake_image=None,
+        fake_image=None, orient=None,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """When `fake_image` is provided (--reuse_fake_for_d), the generator
         forward is skipped: D trains against the image the G step already
         produced (pre-G-update weights).  The reference recomputes the fake
         with post-update G (pix2pix_trainer.py:61-77) — a documented
         divergence traded for skipping the most expensive forward (PERF.md
-        breakdown); off by default."""
+        breakdown); off by default.
+
+        When `orient` is provided (reuse_orient_for_d, default on), the
+        frozen-IG inpainting forward is skipped — bit-exact reuse, since the
+        IG output is a pure function of frozen weights + the batch."""
         opt = self.opt
         if curr_step is None:
             curr_step = opt.curr_step
         pre = self.preprocess(batch)
-        orient = self._orient_for_training(variables, pre)
+        if orient is None:
+            orient = self._orient_for_training(variables, pre)
+        else:
+            orient = jax.lax.stop_gradient(orient)
         if fake_image is None:
             fake, _, blend, _ = self.generate_fake(
                 variables, pre, orient, rng=rng, train=True, mutable=False,

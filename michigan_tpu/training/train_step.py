@@ -46,8 +46,9 @@ def _merge_updates(variables, net_name, updates):
 def make_train_steps(opt, mesh=None, ab_count=None):
     """Builds the model (with the mesh's axis name threaded into the
     syncbatch-norm modules) and returns (model, g_step, d_step):
-      g_step(state, batch, rng, extra_dilate) -> (state, losses, fake)
-      d_step(state, batch, rng, extra_dilate) -> (state, losses)
+      g_step(state, batch, rng, extra_dilate) -> (state, losses, fake, orient)
+      d_step(state, batch, rng, extra_dilate, fake=None, orient=None)
+        -> (state, losses)
 
     With --unpairTrain, the reference re-dispatches the stage eagerly every
     step (pix2pix_trainer.py:61-77; train.py:42-95 alternates per epoch).
@@ -68,14 +69,14 @@ def make_train_steps(opt, mesh=None, ab_count=None):
 
             def loss_fn(g_params):
                 variables = _merge_params(state.variables, g_params)
-                total, (losses, fake, updates) = model.generator_loss(
+                total, aux = model.generator_loss(
                     variables, batch, rng, ab_count=ab_count,
                     extra_dilate_steps=extra_dilate, curr_step=curr_step,
                 )
-                return total, (losses, fake, updates)
+                return total, aux
 
             g_params = {n: state.variables[n]["params"] for n in g_names}
-            (total, (losses, fake, updates)), grads = jax.value_and_grad(
+            (total, (losses, fake, updates, orient)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(g_params)
             if axis is not None:
@@ -89,14 +90,14 @@ def make_train_steps(opt, mesh=None, ab_count=None):
             state = state.replace(
                 variables=variables, opt_g_state=new_opt_state, step=state.step + 1
             )
-            return state, losses, fake
+            return state, losses, fake, orient
 
         return g_step_local
 
-    def make_d_step_local(curr_step, reuse_fake=False):
+    def make_d_step_local(curr_step, reuse_fake=False, reuse_orient=False):
         d_name = "netD2" if (opt.unpairTrain and curr_step == 2) else "netD"
 
-        def body(state: TrainState, batch, rng, extra_dilate, fake):
+        def body(state: TrainState, batch, rng, extra_dilate, fake, orient):
             if axis is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
@@ -104,7 +105,7 @@ def make_train_steps(opt, mesh=None, ab_count=None):
                 variables = _merge_params(state.variables, d_params)
                 total, losses = model.discriminator_loss(
                     variables, batch, rng, extra_dilate_steps=extra_dilate,
-                    curr_step=curr_step, fake_image=fake,
+                    curr_step=curr_step, fake_image=fake, orient=orient,
                 )
                 return total, losses
 
@@ -126,12 +127,18 @@ def make_train_steps(opt, mesh=None, ab_count=None):
                 state = state.replace(variables=variables, opt_d_state=new_opt_state)
             return state, losses
 
-        if reuse_fake:
+        if reuse_fake and reuse_orient:
+            def d_step_local(state, batch, rng, extra_dilate, fake, orient):
+                return body(state, batch, rng, extra_dilate, fake, orient)
+        elif reuse_fake:
             def d_step_local(state, batch, rng, extra_dilate, fake):
-                return body(state, batch, rng, extra_dilate, fake)
+                return body(state, batch, rng, extra_dilate, fake, None)
+        elif reuse_orient:
+            def d_step_local(state, batch, rng, extra_dilate, orient):
+                return body(state, batch, rng, extra_dilate, None, orient)
         else:
             def d_step_local(state, batch, rng, extra_dilate):
-                return body(state, batch, rng, extra_dilate, None)
+                return body(state, batch, rng, extra_dilate, None, None)
 
         return d_step_local
 
@@ -152,34 +159,42 @@ def make_train_steps(opt, mesh=None, ab_count=None):
 
     stages = (1, 2) if opt.unpairTrain else (1,)
     g_steps = {
-        s: compile_step(make_g_step_local(s), (rep, rep, batch_spec))
+        s: compile_step(
+            make_g_step_local(s), (rep, rep, batch_spec, batch_spec)
+        )
         for s in stages
     }
-    d_steps = {
-        s: compile_step(make_d_step_local(s), (rep, rep)) for s in stages
-    }
-    # --reuse_fake_for_d: D trains on the G step's fake (skips the generator
-    # forward — the most expensive op in the step, PERF.md); not available
-    # with use_blender (the G step's aux output is the pre-blend fake)
-    d_steps_reuse = {}
-    if getattr(opt, "reuse_fake_for_d", False) and not opt.use_blender:
-        d_steps_reuse = {
-            s: compile_step(
-                make_d_step_local(s, reuse_fake=True), (rep, rep),
-                n_extra_sharded=1,
-            )
-            for s in stages
-        }
+    # reuse_orient_for_d (default on): the D step reuses the G step's
+    # frozen-IG inpainted orientation — bit-exact (pure function of frozen
+    # weights + batch), skips one IG forward per step.
+    # --reuse_fake_for_d additionally skips the generator forward — the most
+    # expensive op in the step (PERF.md) — but trains D on the pre-G-update
+    # fake (documented divergence; off by default); not available with
+    # use_blender (the G step's aux output is the pre-blend fake).
+    reuse_fake = getattr(opt, "reuse_fake_for_d", False) and not opt.use_blender
+    reuse_orient = getattr(opt, "reuse_orient_for_d", True) and opt.use_ig
+    d_steps = {}
+    for s in stages:
+        for rf in ({False, reuse_fake}):
+            for ro in ({False, reuse_orient}):
+                n_shard = int(rf) + int(ro)
+                d_steps[(s, rf, ro)] = compile_step(
+                    make_d_step_local(s, reuse_fake=rf, reuse_orient=ro),
+                    (rep, rep), n_extra_sharded=n_shard,
+                )
 
     def g_step(state, batch, rng, extra_dilate):
         return g_steps[opt.curr_step if opt.unpairTrain else 1](
             state, batch, rng, extra_dilate
         )
 
-    def d_step(state, batch, rng, extra_dilate, fake=None):
+    def d_step(state, batch, rng, extra_dilate, fake=None, orient=None):
         s = opt.curr_step if opt.unpairTrain else 1
-        if fake is not None and s in d_steps_reuse:
-            return d_steps_reuse[s](state, batch, rng, extra_dilate, fake)
-        return d_steps[s](state, batch, rng, extra_dilate)
+        rf = reuse_fake and fake is not None
+        ro = reuse_orient and orient is not None
+        args = (
+            ((fake,) if rf else ()) + ((orient,) if ro else ())
+        )
+        return d_steps[(s, rf, ro)](state, batch, rng, extra_dilate, *args)
 
     return model, g_step, d_step

@@ -44,8 +44,8 @@ def run(dtype: str, steps: int, size: int = 128):
     track = {"lab": [], "rgb": [], "background": [], "GAN": []}
     for i in range(steps):
         srng = jax.random.fold_in(rng, i)
-        state, g_losses, _ = g_step(state, batch, srng, extra)
-        state, d_losses = d_step(state, batch, srng, extra)
+        state, g_losses, _, orient = g_step(state, batch, srng, extra)
+        state, d_losses = d_step(state, batch, srng, extra, orient=orient)
         if i % 10 == 0 or i == steps - 1:
             for k in track:
                 track[k].append(round(float(g_losses[k]), 4))

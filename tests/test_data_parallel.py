@@ -51,14 +51,14 @@ def test_sharded_step_matches_single_device():
     model_s, g_single, d_single = make_train_steps(opt, mesh=None)
     variables = model_s.init_variables(rng, batch)
     state_s = TrainState.create(opt, variables)
-    state_s, g_losses_s, _ = g_single(state_s, batch, rng, extra)
+    state_s, g_losses_s, _, _ = g_single(state_s, batch, rng, extra)
     state_s, d_losses_s = d_single(state_s, batch, rng, extra)
 
     mesh = make_mesh("data:-1", jax.devices()[:8])
     model_m, g_multi, d_multi = make_train_steps(opt, mesh=mesh)
     # same init: param trees are identical pytrees regardless of mesh
     state_m = TrainState.create(opt, variables)
-    state_m, g_losses_m, _ = g_multi(state_m, batch, rng, extra)
+    state_m, g_losses_m, _, _ = g_multi(state_m, batch, rng, extra)
     state_m, d_losses_m = d_multi(state_m, batch, rng, extra)
 
     # losses: the sharded path folds a per-shard rng, so VAE-free configs

@@ -43,8 +43,8 @@ def run_one_gd(opt):
     variables = model.init_variables(rng, batch)
     state = TrainState.create(opt, variables)
     extra = jnp.asarray(1, jnp.int32)
-    state, g_losses, fake = g_step(state, batch, rng, extra)
-    state, d_losses = d_step(state, batch, rng, extra)
+    state, g_losses, fake, orient = g_step(state, batch, rng, extra)
+    state, d_losses = d_step(state, batch, rng, extra, orient=orient)
     for k, v in {**g_losses, **d_losses}.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     return state, g_losses, d_losses
@@ -86,7 +86,7 @@ def test_unpair_stage_alternation_not_stale():
     # epoch part A: stage 2 (unpair)
     d2_before = jax.tree_util.tree_leaves(
         state.variables["netD2"]["params"])[0].copy()
-    state, g2, _ = g_step(state, batch, rng, extra)
+    state, g2, _, _ = g_step(state, batch, rng, extra)
     state, _ = d_step(state, batch, rng, extra)
     assert "hairAvgLab" in g2 and "VGG" not in g2 and "GAN_Feat" not in g2
     d2_after = jax.tree_util.tree_leaves(
@@ -99,7 +99,7 @@ def test_unpair_stage_alternation_not_stale():
         state.variables["netD"]["params"])[0].copy()
     d2_snap = jax.tree_util.tree_leaves(
         state.variables["netD2"]["params"])[0].copy()
-    state, g1, _ = g_step(state, batch, rng, extra)
+    state, g1, _, _ = g_step(state, batch, rng, extra)
     state, _ = d_step(state, batch, rng, extra)
     assert "VGG" in g1 and "GAN_Feat" in g1 and "hairAvgLab" not in g1
     d1_after = jax.tree_util.tree_leaves(state.variables["netD"]["params"])[0]
@@ -123,7 +123,7 @@ def test_params_change_and_frozen_nets_do_not():
     state = TrainState.create(opt, variables)
     g0 = jax.tree_util.tree_leaves(variables["netG"]["params"])[0].copy()
     ig0 = jax.tree_util.tree_leaves(variables["netIG"]["params"])[0].copy()
-    state, _, _ = g_step(state, batch, rng, jnp.asarray(0))
+    state, _, _, _ = g_step(state, batch, rng, jnp.asarray(0))
     g1 = jax.tree_util.tree_leaves(state.variables["netG"]["params"])[0]
     ig1 = jax.tree_util.tree_leaves(state.variables["netIG"]["params"])[0]
     assert not np.allclose(np.asarray(g0), np.asarray(g1)), "netG did not train"
@@ -150,7 +150,7 @@ def test_checkpoint_roundtrip(tmp_path):
     rng = jax.random.PRNGKey(0)
     variables = model.init_variables(rng, batch)
     state = TrainState.create(opt, variables)
-    state, _, _ = g_step(state, batch, rng, jnp.asarray(0))
+    state, _, _, _ = g_step(state, batch, rng, jnp.asarray(0))
 
     CK.save_checkpoint(opt, "latest", state)
     restored = CK.load_checkpoint(opt, "latest")
@@ -186,4 +186,28 @@ def test_reuse_fake_for_d_matches_recompute():
         np.testing.assert_allclose(
             np.asarray(losses_reuse[k]), np.asarray(losses_recompute[k]),
             rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_reuse_orient_for_d_is_exact():
+    """reuse_orient_for_d (default on): handing d_step the G step's
+    frozen-IG inpainted orientation must give EXACTLY the recompute losses —
+    the IG output is a pure function of frozen weights + the batch."""
+    opt = tiny_opt()
+    model, g_step, d_step = make_train_steps(opt)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(1, jnp.int32)
+
+    pre = jax.jit(model.preprocess)(batch)
+    orient = jax.jit(
+        lambda v: model._orient_for_training(v, pre)
+    )(state.variables)
+    _, losses_reuse = d_step(state, batch, rng, extra, orient=orient)
+    _, losses_recompute = d_step(state, batch, rng, extra)
+    for k in losses_recompute:
+        np.testing.assert_array_equal(
+            np.asarray(losses_reuse[k]), np.asarray(losses_recompute[k])
         )

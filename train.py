@@ -134,12 +134,14 @@ def main(argv=None):
 
             g_losses = d_losses = {}
             fake = None
+            orient = None
             if i % opt.D_steps_per_G == 0:
-                state, g_losses, fake = g_step(state, batch, step_rng, extra)
+                state, g_losses, fake, orient = g_step(
+                    state, batch, step_rng, extra)
             if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
                 reuse = fake if opt.reuse_fake_for_d else None
                 state, d_losses = d_step(state, batch, step_rng, extra,
-                                         fake=reuse)
+                                         fake=reuse, orient=orient)
 
             if opt.debug_nans and (g_losses or d_losses):
                 for k, v in {**g_losses, **d_losses}.items():
@@ -154,7 +156,8 @@ def main(argv=None):
             ):
                 # trace one steady-state step (post-compile)
                 with jax.profiler.trace(opt.profile_dir):
-                    state, g_losses, fake = g_step(state, batch, step_rng, extra)
+                    state, g_losses, fake, orient = g_step(
+                        state, batch, step_rng, extra)
                 print(f"profiler trace written to {opt.profile_dir}")
 
             if iter_counter.needs_printing():
