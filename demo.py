@@ -52,7 +52,9 @@ def run_headless(argv=None):
     )
 
     opt = demo_options(rest)
-    engine = DemoEngine(opt)
+    # precompile like the Qt shell does, so the reported latency is the
+    # steady-state interactive number, not first-edit compile time
+    engine = DemoEngine(opt, precompile=True)
 
     demo_dir = opt.demo_data_dir
     tag_img, tag_label, tag_orient, tag_recon = _load_demo_sample(
