@@ -70,16 +70,63 @@ def main(argv=None):
 
         batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
+    # Compact host->device transfer (bf16 training only): images and noise
+    # are consumed by bf16 convs, so shipping them as bf16 halves the
+    # transfer with no extra information loss; 0/1 labels/masks are exact
+    # in uint8.  The orientation label stays fp32 (it is a loss target).
+    # fp32 training transfers everything untouched.
+    _BF16_KEYS = ("image_ref", "image_tag", "noise", "orient_rgb")
+    _U8_KEYS = ("label_ref", "label_tag", "hole")
+    compact_transfer = opt.dtype == "bfloat16"
+
+    def _compact(k, v):
+        if not compact_transfer:
+            return v
+        if k in _U8_KEYS:
+            return v.astype(np.uint8)
+        if k in _BF16_KEYS:
+            import ml_dtypes
+
+            return v.astype(ml_dtypes.bfloat16)
+        return v
+
     def device_batch(data):
         """Host-local numpy -> global device array sharded over the mesh."""
         if batch_sharding is None:
-            return {k: jnp.asarray(v) for k, v in data.items()}
+            return {
+                k: jnp.asarray(_compact(k, np.asarray(v))).astype(jnp.float32)
+                for k, v in data.items()
+            }
         return {
             k: jax.make_array_from_process_local_data(
-                batch_sharding, np.asarray(v)
-            )
+                batch_sharding, _compact(k, np.asarray(v))
+            ).astype(jnp.float32)
             for k, v in data.items()
         }
+
+    def prefetch_to_device(loader, depth=2):
+        """Yield (host_data, device_batch) with the NEXT batch's transfer
+        overlapping the current step's compute — through a remote-TPU relay
+        the H2D copy (~57 MB/s measured) otherwise serializes with the step."""
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def feeder():
+            try:
+                for item in loader:
+                    q.put((item, device_batch(item)))
+            finally:
+                q.put(sentinel)
+
+        _threading.Thread(target=feeder, daemon=True).start()
+        while True:
+            got = q.get()
+            if got is sentinel:
+                return
+            yield got
     ab_count = None
     if opt.balance_Lab and os.path.exists(opt.weight_dir):
         ab_count = load_ab_count(opt.weight_dir)
@@ -122,9 +169,8 @@ def main(argv=None):
         nonlocal state
         opt.curr_step = curr_step
         iter_counter.record_epoch_start(epoch)
-        for i, data in enumerate(loader):
+        for i, (data, batch) in enumerate(prefetch_to_device(loader)):
             iter_counter.record_one_iteration()
-            batch = device_batch(data)
             step_rng = jax.random.fold_in(
                 jax.random.PRNGKey(opt.seed), int(iter_counter.total_steps_so_far)
             )
