@@ -113,11 +113,14 @@ def main(argv=None):
 
         q: "_queue.Queue" = _queue.Queue(maxsize=depth)
         sentinel = object()
+        err = []
 
         def feeder():
             try:
                 for item in loader:
                     q.put((item, device_batch(item)))
+            except BaseException as e:  # re-raised in the consumer
+                err.append(e)
             finally:
                 q.put(sentinel)
 
@@ -125,6 +128,8 @@ def main(argv=None):
         while True:
             got = q.get()
             if got is sentinel:
+                if err:
+                    raise err[0]
                 return
             yield got
     ab_count = None
