@@ -253,6 +253,34 @@ class PrefetchLoader:
         self.epoch += 1
 
 
+def prefetch_with(put, loader, depth: int = 2):
+    """Yield (item, put(item)) with `put` (typically the host->device
+    transfer) running one item ahead on a feeder thread, overlapping the
+    copy with whatever the consumer does between iterations.  Exceptions
+    raised by the loader or `put` re-raise in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def feeder():
+        try:
+            for item in loader:
+                q.put((item, put(item)))
+        except BaseException as e:  # re-raised in the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    while True:
+        got = q.get()
+        if got is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield got
+
+
 # name -> class, replacing the reference's find_dataset_using_name reflection
 # (data/__init__.py:11-33); 'custom' is the only dataset the reference ships
 DATASET_REGISTRY = {"custom": CustomDataset}

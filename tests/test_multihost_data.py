@@ -77,3 +77,25 @@ def test_make_array_from_process_local_data_roundtrip(tiny_dataset):
     assert arr.shape == data["image_tag"].shape
     np.testing.assert_array_equal(np.asarray(arr), data["image_tag"])
     assert len(arr.sharding.device_set) == 8
+
+
+def test_prefetch_with_overlaps_and_propagates_errors():
+    """prefetch_with runs the put() one item ahead and re-raises feeder
+    exceptions in the consumer (train.py device prefetch)."""
+    import pytest
+
+    from michigan_tpu.data.dataset import prefetch_with
+
+    out = list(prefetch_with(lambda x: x * 10, [1, 2, 3]))
+    assert out == [(1, 10), (2, 20), (3, 30)]
+
+    def bad_put(x):
+        if x == 2:
+            raise ValueError("boom")
+        return x
+
+    consumed = []
+    with pytest.raises(ValueError, match="boom"):
+        for item, _ in prefetch_with(bad_put, [1, 2, 3]):
+            consumed.append(item)
+    assert consumed == [1]

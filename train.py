@@ -21,7 +21,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from michigan_tpu.config import train_options
-    from michigan_tpu.data.dataset import create_dataloader
+    from michigan_tpu.data.dataset import create_dataloader, prefetch_with
     from michigan_tpu.losses.color import load_ab_count
     from michigan_tpu.model import MichiGANModel
     from michigan_tpu.parallel.mesh import make_mesh
@@ -108,30 +108,8 @@ def main(argv=None):
         """Yield (host_data, device_batch) with the NEXT batch's transfer
         overlapping the current step's compute — through a remote-TPU relay
         the H2D copy (~57 MB/s measured) otherwise serializes with the step."""
-        import queue as _queue
-        import threading as _threading
+        return prefetch_with(device_batch, loader, depth)
 
-        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-        sentinel = object()
-        err = []
-
-        def feeder():
-            try:
-                for item in loader:
-                    q.put((item, device_batch(item)))
-            except BaseException as e:  # re-raised in the consumer
-                err.append(e)
-            finally:
-                q.put(sentinel)
-
-        _threading.Thread(target=feeder, daemon=True).start()
-        while True:
-            got = q.get()
-            if got is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield got
     ab_count = None
     if opt.balance_Lab and os.path.exists(opt.weight_dir):
         ab_count = load_ab_count(opt.weight_dir)
