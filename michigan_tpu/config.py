@@ -238,15 +238,19 @@ class Options:
     multihost: bool = False              # jax.distributed.initialize() at
                                          # startup (multi-host DCN training;
                                          # also via MICHIGAN_MULTIHOST=1)
-    reuse_fake_for_d: bool = False       # D trains on the G step's fake image
+    # D trains on the G step's fake image instead of recomputing it with
+    # the just-updated G (the reference recomputes,
+    # pix2pix_trainer.py:61-77) — skips the step's most expensive forward;
+    # documented divergence, off by default
+    reuse_fake_for_d: bool = False
     # D step reuses the G step's frozen-IG inpainted orientation — bit-exact
     # (pure function of frozen weights + batch), skips one IG forward/step
     reuse_orient_for_d: bool = True
-                                         # instead of recomputing it with the
-                                         # just-updated G (the reference
-                                         # recomputes, pix2pix_trainer.py:61-77)
-                                         # — skips the step's most expensive
-                                         # forward; documented divergence
+    # train.py input pipeline: batches transferred ahead of the running
+    # step by a feeder thread (0 disables); in bf16 training, tensors ship
+    # in compact dtypes (see train.py device_batch)
+    device_prefetch: int = 1
+    compact_transfer: bool = True
 
     # ---- derived (finalize) ----
     semantic_nc: int = 2

@@ -253,32 +253,65 @@ class PrefetchLoader:
         self.epoch += 1
 
 
-def prefetch_with(put, loader, depth: int = 2):
+def prefetch_with(put, loader, depth: int = 1):
     """Yield (item, put(item)) with `put` (typically the host->device
-    transfer) running one item ahead on a feeder thread, overlapping the
-    copy with whatever the consumer does between iterations.  Exceptions
-    raised by the loader or `put` re-raise in the consumer."""
-    q: queue.Queue = queue.Queue(maxsize=depth)
+    transfer) running `depth` items ahead on a feeder thread, overlapping
+    the copy with whatever the consumer does between iterations.
+    Exceptions raised by the loader or `put` re-raise in the consumer;
+    early consumer exit (break / raise / close) unblocks and stops the
+    feeder so queued device buffers and the loader's own worker threads
+    are released."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
     err = []
+    stop = threading.Event()
 
     def feeder():
+        it = iter(loader)
         try:
-            for item in loader:
-                q.put((item, put(item)))
+            for item in it:
+                if stop.is_set():
+                    return
+                pair = (item, put(item))
+                while not stop.is_set():
+                    try:
+                        q.put(pair, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # re-raised in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            if hasattr(it, "close"):
+                it.close()  # run the loader generator's cleanup here
+            # must deliver the sentinel (a full queue would otherwise leave
+            # the consumer blocked in q.get() forever) unless the consumer
+            # already stopped and is draining
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=feeder, daemon=True).start()
-    while True:
-        got = q.get()
-        if got is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield got
+    try:
+        while True:
+            got = q.get()
+            if got is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield got
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 # name -> class, replacing the reference's find_dataset_using_name reflection

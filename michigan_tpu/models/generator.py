@@ -123,6 +123,18 @@ class SPADEBGenerator(nn.Module):
         remat_names = None if remat_sel == "all" else set(
             s for s in remat_sel.split(",") if s
         )
+        if remat_names is not None:
+            valid = {"head_0", "G_middle_0", "G_middle_1",
+                     "up_0", "up_1", "up_2", "up_3"}
+            if opt.num_upsampling_layers == "most":
+                valid.add("up_4")
+            unknown = remat_names - valid
+            if unknown:
+                # a typo here would silently disable remat and OOM later
+                raise ValueError(
+                    f"--remat_blocks: unknown block(s) {sorted(unknown)}; "
+                    f"valid: {sorted(valid)} or 'all'"
+                )
 
         def block(name, fin, fout):
             cls = SPADEResnetBlock

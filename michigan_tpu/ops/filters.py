@@ -250,16 +250,18 @@ def filter_bank_conv_s2d(
     )
 
 
-# s2d path measured 9x faster fwd on TPU (MXU-shaped; PERF.md);
-# MICHIGAN_FILTERBANK=direct falls back for A/B.
-USE_S2D = os.environ.get("MICHIGAN_FILTERBANK", "s2d") != "direct"
+def _use_s2d() -> bool:
+    """s2d path measured 31x faster fwd on TPU (MXU-shaped; PERF.md);
+    MICHIGAN_FILTERBANK=direct falls back for A/B.  Read at call (trace)
+    time so setting the env after import still takes effect."""
+    return os.environ.get("MICHIGAN_FILTERBANK", "s2d") != "direct"
 
 
 def filter_bank_conv(
     gray: jax.Array, bank: jnp.ndarray, padding: int = 8,
     mode: str | None = None,
 ) -> jax.Array:
-    if USE_S2D and mode is not None and padding == bank.shape[0] // 2:
+    if _use_s2d() and mode is not None and padding == bank.shape[0] // 2:
         return filter_bank_conv_s2d(
             gray, mode, padding,
             kernel_size=bank.shape[0], num=bank.shape[3],

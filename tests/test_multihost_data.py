@@ -99,3 +99,35 @@ def test_prefetch_with_overlaps_and_propagates_errors():
         for item, _ in prefetch_with(bad_put, [1, 2, 3]):
             consumed.append(item)
     assert consumed == [1]
+
+
+def test_prefetch_with_slow_consumer_and_early_exit():
+    """The feeder must deliver the sentinel even when the queue is full at
+    loader exhaustion (regression: a slow consumer left q.get() blocked
+    forever), and an early consumer exit must stop the feeder."""
+    import time
+
+    from michigan_tpu.data.dataset import prefetch_with
+
+    # slow consumer: feeder finishes (and hits its finally) while the
+    # queue still holds undelivered items
+    out = []
+    for item, _ in prefetch_with(lambda x: x, [1, 2, 3], depth=1):
+        time.sleep(0.05)
+        out.append(item)
+    assert out == [1, 2, 3]
+
+    # early exit: generator close unblocks the feeder; loader cleanup runs
+    closed = []
+
+    def loader():
+        try:
+            for i in range(100):
+                yield i
+        finally:
+            closed.append(True)
+
+    for item, _ in prefetch_with(lambda x: x, loader(), depth=1):
+        break
+    time.sleep(0.5)  # let the feeder thread observe stop and clean up
+    assert closed == [True]

@@ -70,14 +70,17 @@ def main(argv=None):
 
         batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
-    # Compact host->device transfer (bf16 training only): images and noise
-    # are consumed by bf16 convs, so shipping them as bf16 halves the
-    # transfer with no extra information loss; 0/1 labels/masks are exact
-    # in uint8.  The orientation label stays fp32 (it is a loss target).
-    # fp32 training transfers everything untouched.
+    # Compact host->device transfer (bf16 training only): image-like
+    # tensors ship as bf16, 0/1 labels/masks as uint8 (exact), the raw
+    # orientation label stays fp32.  Note the images/orient_rgb also feed
+    # loss TARGETS (rgb/Lab/VGG, and the IG output) — those targets see one
+    # extra bf16 rounding (~2^-8 relative), consistent with the bf16
+    # compute policy that already produces the fake through bf16 convs.
+    # --compact_transfer false restores untouched fp32 transfers; fp32
+    # training always transfers untouched.
     _BF16_KEYS = ("image_ref", "image_tag", "noise", "orient_rgb")
     _U8_KEYS = ("label_ref", "label_tag", "hole")
-    compact_transfer = opt.dtype == "bfloat16"
+    compact_transfer = opt.compact_transfer and opt.dtype == "bfloat16"
 
     def _compact(k, v):
         if not compact_transfer:
@@ -104,11 +107,15 @@ def main(argv=None):
             for k, v in data.items()
         }
 
-    def prefetch_to_device(loader, depth=2):
+    def prefetch_to_device(loader):
         """Yield (host_data, device_batch) with the NEXT batch's transfer
         overlapping the current step's compute — through a remote-TPU relay
-        the H2D copy (~57 MB/s measured) otherwise serializes with the step."""
-        return prefetch_with(device_batch, loader, depth)
+        the H2D copy (~57 MB/s measured) otherwise serializes with the step.
+        --device_prefetch N sets how many batches sit transferred ahead
+        (each pins a batch in HBM); 0 disables the feeder thread."""
+        if opt.device_prefetch <= 0:
+            return ((data, device_batch(data)) for data in loader)
+        return prefetch_with(device_batch, loader, opt.device_prefetch)
 
     ab_count = None
     if opt.balance_Lab and os.path.exists(opt.weight_dir):
