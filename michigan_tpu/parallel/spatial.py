@@ -7,6 +7,14 @@ the H dimension of every activation is sharded over a ('space',) mesh axis
 and XLA's SPMD partitioner (GSPMD) inserts the halo exchanges for the 3x3
 convolutions automatically — the TPU-native alternative to hand-written
 ring/halo code.  Params stay replicated.
+
+TRAINING needs no dedicated wrapper: place the batch arrays with
+`shard_batch(batch, mesh)` and call the ordinary jitted train steps —
+GSPMD propagates the spatial sharding through forward, backward, and the
+optimizer update (equivalence proven by
+tests/test_spatial_sharding.py::test_spatial_sharded_train_step_matches).
+This is the memory path for 1024^2 training at bs>=2 per chip (PERF.md:
+bs2 exceeds single-chip HBM by 0.9G even with remat).
 """
 
 from __future__ import annotations
