@@ -100,8 +100,13 @@ class Visualizer:
             links.append(name)
         gallery = HTMLGallery(self.web_dir, f"Experiment = {self.name}", refresh=5)
         for e in range(epoch, 0, -1):
-            gallery.add_images(
-                [n.replace(f"epoch{epoch:03d}", f"epoch{e:03d}") for n in ims],
-                txts, links, width=self.win_size,
-            )
+            row = [n.replace(f"epoch{epoch:03d}", f"epoch{e:03d}") for n in ims]
+            # epochs that never hit a display step have no saved images —
+            # skip them instead of emitting broken <img> links
+            if not all(
+                os.path.exists(os.path.join(self.web_dir, "images", n))
+                for n in row
+            ):
+                continue
+            gallery.add_images(row, txts, links, width=self.win_size)
         gallery.save()

@@ -28,7 +28,15 @@ def test_visualizer_logs(tmp_path):
         "input_tag": np.ones((8, 8, 1), np.float32),
     }
     viz.display_current_results(visuals, epoch=1, step=4)
-    assert os.path.exists(os.path.join(tmp_path, "viz", "web", "index.html"))
+    index = os.path.join(tmp_path, "viz", "web", "index.html")
+    assert os.path.exists(index)
+
+    # displaying at a later epoch lists only epochs whose images exist —
+    # no broken <img> links for epochs that never hit a display step
+    viz.display_current_results(visuals, epoch=4, step=64)
+    html = open(index).read()
+    assert "epoch004" in html and "epoch001" in html
+    assert "epoch002" not in html and "epoch003" not in html
 
 
 def test_iteration_counter_triggers_and_resume(tmp_path):
