@@ -167,13 +167,15 @@ def _s2d_bank_transpose_np(mode: str, kernel_size: int, num: int, block: int):
     return _s2d_kernel_np(kt, block)
 
 
-def _s2d_conv_apply(x, w_np, pad_lo, pad_hi, block, precision):
+def _s2d_conv_apply(
+    x, w_np, pad_lo, pad_hi, block, precision, compute_dtype=jnp.float32
+):
     """Apply an s2d-transformed kernel: pad -> s2d -> conv -> d2s -> crop."""
     cout = w_np.shape[3] // (block * block)
     n, h, wd, cin = x.shape
     hp = -(-h // block) * block
     wp = -(-wd // block) * block
-    g = x.astype(jnp.float32)
+    g = x.astype(compute_dtype)
     if hp != h or wp != wd:
         g = jnp.pad(g, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
     g = g.reshape(n, hp // block, block, wp // block, block, cin)
@@ -182,7 +184,7 @@ def _s2d_conv_apply(x, w_np, pad_lo, pad_hi, block, precision):
     )
     y = jax.lax.conv_general_dilated(
         g,
-        jnp.asarray(w_np),
+        jnp.asarray(w_np, dtype=compute_dtype),
         window_strides=(1, 1),
         padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -218,14 +220,19 @@ def _fb_s2d_fwd(gray, mode, padding, block, kernel_size, num):
 def _fb_s2d_bwd(mode, padding, block, kernel_size, num, _res, g):
     # the conv's input-VJP is itself a 'same'-pad correlation — with the
     # spatially-flipped, io-swapped bank — so run it as a forward s2d conv
-    # rather than XLA's conv-transpose lowering (measured faster)
+    # rather than XLA's conv-transpose lowering (measured faster).  The
+    # whole pass runs in bf16: the cast fuses into the s2d transpose,
+    # halving the read traffic of the (N,H,W,num) fp32 cotangent (the MXU
+    # still accumulates the conv in fp32); only the loss gradient sees the
+    # quantization, never the argmax'd orientations.
     w_np, pad_lo, pad_hi = _s2d_bank_transpose_np(
         mode, kernel_size, num, block
     )
     dgray = _s2d_conv_apply(
-        g, w_np, pad_lo, pad_hi, block, jax.lax.Precision.DEFAULT
+        g.astype(jnp.bfloat16), w_np, pad_lo, pad_hi, block,
+        jax.lax.Precision.DEFAULT, compute_dtype=jnp.bfloat16,
     )
-    return (dgray,)
+    return (dgray.astype(g.dtype),)
 
 
 _fb_s2d_core.defvjp(_fb_s2d_fwd, _fb_s2d_bwd)
@@ -241,9 +248,9 @@ def filter_bank_conv_s2d(
     H,W handled by zero pad + crop (identical to 'same' zero padding).
 
     Forward runs fp32-HIGHEST (per-pixel argmax over near-tie orientation
-    responses needs it); the backward — a linear transpose — runs at
-    default TPU precision (bf16 MXU passes), which only perturbs the loss
-    gradient, not the selected orientations.
+    responses needs it); the backward — a linear transpose — runs in bf16
+    (fp32 MXU accumulation), which only perturbs the loss gradient, not
+    the selected orientations.
     """
     return _fb_s2d_core(
         gray.astype(jnp.float32), mode, padding, block, kernel_size, num

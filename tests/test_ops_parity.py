@@ -165,10 +165,19 @@ def test_filter_bank_s2d_equals_direct(rng, mode, shape):
     direct = np.asarray(FB.filter_bank_conv_direct(g, bank))
     s2d = np.asarray(FB.filter_bank_conv_s2d(g, mode))
     np.testing.assert_allclose(s2d, direct, rtol=1e-4, atol=2e-2)
-    # gradients flow identically through pad/reshape/conv
-    gd = jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_direct(x, bank) ** 2))(g)
-    gs = jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_s2d(x, mode) ** 2))(g)
-    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-3, atol=2e-1)
+    # gradients flow through the same transpose map; the s2d backward is
+    # deliberately bf16 (cotangent quantization ~0.4% rel, fp32 MXU
+    # accumulation — filters.py _fb_s2d_bwd), so compare at bf16 tolerance
+    # scaled to the gradient's magnitude
+    gd = np.asarray(
+        jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_direct(x, bank) ** 2))(g)
+    )
+    gs = np.asarray(
+        jax.grad(lambda x: jnp.sum(FB.filter_bank_conv_s2d(x, mode) ** 2))(g)
+    )
+    np.testing.assert_allclose(
+        gs, gd, rtol=1e-2, atol=1e-2 * np.abs(gd).max()
+    )
 
 
 def test_instance_norm(rng):
