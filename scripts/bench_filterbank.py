@@ -47,8 +47,13 @@ def main():
     out = {}
     for name, conv in paths.items():
         fwd = jax.jit(lambda x: jnp.max(conv(gray(x))))
+        # reduce the gradient to a scalar ON DEVICE: through the axon relay
+        # the sync point fetches the jit's output, so returning the 25 MB
+        # gradient would inflate the timing by D2H transfer (~57 MB/s)
         bwd = jax.jit(
-            jax.grad(lambda x: jnp.sum(jnp.tanh(conv(gray(x)) / 100.0)))
+            lambda x: jnp.sum(
+                jax.grad(lambda y: jnp.sum(jnp.tanh(conv(gray(y)) / 100.0)))(x)
+            )
         )
         out[f"{name}_fwd_ms"] = round(timeit(fwd, img) * 1e3, 2)
         out[f"{name}_fwd_bwd_ms"] = round(timeit(bwd, img) * 1e3, 2)

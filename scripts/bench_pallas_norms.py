@@ -43,10 +43,15 @@ def main():
         for name, shp in shapes:
             x = jnp.asarray(rng.normal(size=shp), getattr(jnp, dtype))
 
-            xla = jax.jit(lambda x: jax.nn.relu(instance_norm(x)))
+            # sum ON DEVICE: the relay sync fetches the jit output, and at
+            # these shapes (64 MB) the D2H transfer would dwarf the ~ms
+            # kernels under test and wash every ratio toward 1.0
+            xla = jax.jit(lambda x: jnp.sum(jax.nn.relu(instance_norm(x))))
             t_x = timeit(xla, x, iters=10)
             print(f"IN+relu {name} {dtype}: xla {t_x:.2f} ms", flush=True)
-            pal = jax.jit(lambda x: fused_instance_norm(x, act="relu"))
+            pal = jax.jit(
+                lambda x: jnp.sum(fused_instance_norm(x, act="relu"))
+            )
             t_p = timeit(pal, x, iters=10)
             print(f"IN+relu {name} {dtype}: pallas {t_p:.2f} ms "
                   f"({t_x / t_p:.2f}x)", flush=True)
@@ -63,11 +68,15 @@ def main():
         def xla_mod(x, g, b):
             m = mean.reshape(1, 1, 1, c)
             iv = inv.reshape(1, 1, 1, c)
-            return ((x - m) * iv * (1.0 + g) + b).astype(x.dtype)
+            return jnp.sum(((x - m) * iv * (1.0 + g) + b).astype(x.dtype))
 
         t_x = timeit(jax.jit(xla_mod), x, g, b)
-        t_p = timeit(jax.jit(lambda x, g, b: spade_modulate(x, mean, inv, g, b)),
-                     x, g, b)
+        t_p = timeit(
+            jax.jit(
+                lambda x, g, b: jnp.sum(spade_modulate(x, mean, inv, g, b))
+            ),
+            x, g, b,
+        )
         print(f"modulate {name}: xla {t_x:.2f} ms  pallas {t_p:.2f} ms "
               f"({t_x / t_p:.2f}x)", flush=True)
 

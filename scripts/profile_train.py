@@ -92,31 +92,43 @@ def main():
     # ---- components (forward only) ----
     pre = jax.jit(model.preprocess)(batch)
 
+    # every timed jit reduces its output to a scalar ON DEVICE: the relay
+    # sync fetches the jit output, so returning an activation tensor would
+    # add D2H transfer (~57 MB/s) to the measurement (one fetch per
+    # timeit, amortized over iters — a 5-10% distortion at these sizes)
+
     @jax.jit
     def ig_fwd(variables):
         hair = pre["input_tag"][..., 1:2]
         _, o = model.inpaint_orient(
             variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair
         )
-        return o
+        return jnp.sum(o)
 
     record("ig_forward", ig_fwd, variables)
-    orient = ig_fwd(variables)
 
     @jax.jit
-    def gen_fwd(variables):
+    def ig_out(variables):
+        hair = pre["input_tag"][..., 1:2]
+        return model.inpaint_orient(
+            variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair
+        )[1]
+
+    orient = ig_out(variables)
+
+    def _gen(variables):
         fake, _, _, _ = model.generate_fake(
             variables, pre, orient, rng=key, train=True, mutable=False,
             extra_dilate_steps=extra,
         )
         return fake
 
-    record("generator_forward", gen_fwd, variables)
-    fake = gen_fwd(variables)
+    record("generator_forward", jax.jit(lambda v: jnp.sum(_gen(v))), variables)
+    fake = jax.jit(_gen)(variables)
 
     @jax.jit
     def vgg_fwd(variables):
-        return model.vgg.apply(variables["vgg"], fake)[-1]
+        return jnp.sum(model.vgg.apply(variables["vgg"], fake)[-1])
 
     record("vgg_forward_x1", vgg_fwd, variables)
 
@@ -126,7 +138,7 @@ def main():
             variables, pre["input_tag"], fake, pre["image_tag"], orient,
             train=True, curr_step=1,
         )
-        return pf[0][-1]
+        return jnp.sum(pf[0][-1])
 
     record("discriminator_forward", d_fwd, variables)
 
@@ -141,9 +153,9 @@ def main():
 
     @jax.jit
     def orient_loss_grad(fake):
-        return jax.grad(
+        return jnp.sum(jax.grad(
             lambda f: sum(L.orient_loss(f, orient, pre["input_tag"], opt))
-        )(fake)
+        )(fake))
 
     record("orient_loss_fwd_bwd", orient_loss_grad, fake)
 
@@ -159,7 +171,8 @@ def main():
             )
             return jnp.mean(f)
 
-        return jax.grad(loss)(variables["netG"]["params"])
+        g = jax.grad(loss)(variables["netG"]["params"])
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
 
     record("generator_fwd_bwd", gen_fwd_bwd, variables)
 
