@@ -105,3 +105,40 @@ def test_filelist_cache(tmp_path, rng):
     assert cached == first  # served from files.list
     fresh = list_images(str(d))
     assert len(fresh) == 3
+
+
+def test_cal_orientation_bulk_mode(tmp_path, rng):
+    """cal_orientation.py --image_dir processes every image, matches masks
+    by basename, and skips images without a mask."""
+    from PIL import Image
+
+    import cal_orientation
+
+    imgs = tmp_path / "images"
+    masks = tmp_path / "labels"
+    out = tmp_path / "orients"
+    imgs.mkdir(); masks.mkdir()
+    for stem in ("aa", "bb"):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        ).save(imgs / f"{stem}.jpg")
+    mask = np.zeros((48, 48), np.uint8)
+    mask[8:40, 8:40] = 255
+    Image.fromarray(mask).save(masks / "aa.png")  # bb has no mask
+
+    cal_orientation.main([
+        "--image_dir", str(imgs), "--hairmask_dir", str(masks),
+        "--orientation_root", str(out),
+    ])
+    assert sorted(p.name for p in out.iterdir()) == ["aa.png"]
+    o = np.array(Image.open(out / "aa.png"))
+    assert o.shape == (48, 48) and o.dtype == np.uint8
+    assert (o[mask == 0] == 0).all()  # orientation only inside the mask
+
+    # single-image mode unchanged
+    cal_orientation.main([
+        "--image_path", str(imgs / "bb.jpg"),
+        "--hairmask_path", str(masks / "aa.png"),
+        "--orientation_root", str(out),
+    ])
+    assert (out / "bb.png").exists()
