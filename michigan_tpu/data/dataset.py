@@ -73,6 +73,20 @@ class CustomDataset:
         self.orient_paths = list_images(
             opt.orient_dir or os.path.join(base, f"{clear}{phase}_dense_orients"), **kw
         )[: opt.max_dataset_size]
+        # fail at construction with a clear message, not mid-epoch inside a
+        # loader worker (the reference's check covers label/image only and
+        # zip would silently truncate a length mismatch)
+        if len(self.image_paths) != len(self.label_paths):
+            raise ValueError(
+                f"dataset mismatch: {len(self.label_paths)} labels vs "
+                f"{len(self.image_paths)} images under {base}"
+            )
+        if len(self.orient_paths) != len(self.label_paths):
+            raise ValueError(
+                f"dataset mismatch: {len(self.label_paths)} labels vs "
+                f"{len(self.orient_paths)} dense orientation maps under "
+                f"{base} — run cal_orientation.py --image_dir to generate them"
+            )
         if not opt.no_pairing_check:
             for lp, ip in zip(self.label_paths, self.image_paths):
                 n1 = os.path.splitext(os.path.basename(lp))[0]
@@ -195,6 +209,7 @@ class PrefetchLoader:
         done: Dict[int, Dict[str, np.ndarray]] = {}
         done_lock = threading.Condition()
         stop = threading.Event()
+        errors: List[BaseException] = []
         window = max(self.prefetch, self.num_workers)
 
         def worker():
@@ -203,24 +218,33 @@ class PrefetchLoader:
                     bi, batch_idx = work.get_nowait()
                 except queue.Empty:
                     return
-                lb = self.local_batch_size
-                off = self.shard_rank * lb if self.shard_count > 1 else 0
-                local_idx = (
-                    batch_idx[off : off + lb]
-                    if self.shard_count > 1 else batch_idx
-                )
-                # per-sample rng keyed by GLOBAL batch position: host shards
-                # reproduce exactly the randomness of the unsharded stream
-                samples = [
-                    self.dataset.get_sample(
-                        i,
-                        random.Random((self.seed, self.epoch, bi, off + j).__hash__()),
+                try:
+                    lb = self.local_batch_size
+                    off = self.shard_rank * lb if self.shard_count > 1 else 0
+                    local_idx = (
+                        batch_idx[off : off + lb]
+                        if self.shard_count > 1 else batch_idx
                     )
-                    for j, i in enumerate(local_idx)
-                ]
-                stacked = {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0]
-                }
+                    # per-sample rng keyed by GLOBAL batch position: host
+                    # shards reproduce exactly the randomness of the
+                    # unsharded stream
+                    samples = [
+                        self.dataset.get_sample(
+                            i,
+                            random.Random((self.seed, self.epoch, bi, off + j).__hash__()),
+                        )
+                        for j, i in enumerate(local_idx)
+                    ]
+                    stacked = {
+                        k: np.stack([s[k] for s in samples]) for k in samples[0]
+                    }
+                except BaseException as e:
+                    # surface the failure to the consumer — a dead worker
+                    # must not leave __iter__ waiting on a batch forever
+                    with done_lock:
+                        errors.append(e)
+                        done_lock.notify_all()
+                    return
                 with done_lock:
                     # bounded reorder buffer: don't run too far ahead
                     while (
@@ -242,6 +266,8 @@ class PrefetchLoader:
             for bi in range(n_batches):
                 with done_lock:
                     while bi not in done:
+                        if errors:
+                            raise errors[0]
                         done_lock.wait(timeout=0.5)
                     item = done.pop(bi)
                     done_lock.notify_all()

@@ -131,3 +131,28 @@ def test_prefetch_with_slow_consumer_and_early_exit():
         break
     time.sleep(0.5)  # let the feeder thread observe stop and clean up
     assert closed == [True]
+
+
+def test_loader_worker_exception_propagates(tiny_dataset):
+    """A get_sample failure inside a PrefetchLoader worker thread must
+    re-raise in the consumer, not leave __iter__ waiting forever
+    (regression: a corrupt sample deadlocked the epoch loop)."""
+    opt = make_opt(tiny_dataset)
+    loader = create_dataloader(opt, shard=(0, 1))
+
+    def boom(index, rng):
+        raise RuntimeError("corrupt sample")
+
+    loader.dataset.get_sample = boom
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(loader)
+
+
+def test_dataset_mismatch_fails_at_construction(tiny_dataset):
+    """Missing dense-orientation maps must fail with a clear error at
+    dataset construction, pointing at cal_orientation.py."""
+    for f in os.listdir(os.path.join(tiny_dataset, "train_dense_orients")):
+        os.remove(os.path.join(tiny_dataset, "train_dense_orients", f))
+    opt = make_opt(tiny_dataset)
+    with pytest.raises(ValueError, match="cal_orientation"):
+        create_dataloader(opt)
