@@ -169,22 +169,45 @@ class ImageEncoder3(nn.Module):
 
 
 class BackgroundEncode(nn.Module):
-    """Background pyramid without noise (encoder.py:227-253)."""
+    """Background pyramid without noise (encoder.py:227-253) — intent
+    rebuild.  The reference class returns its pyramid UNREVERSED
+    ([x0..x4], full-res first), but the generator composites index 0 at
+    its SMALLEST up-block scale (generator.py:183-187), so every
+    `noise_background=False` config crashes upstream on a shape mismatch:
+    a dead-broken path like Blend2Generator (PARITY.md known divergences).
+    Rebuilt to the working contract BackgroundEncode2 defines
+    (encoder.py:339-343): smallest scale first, channels matching the
+    up-block outputs, including the half-channel stem for 'most'; the
+    reference's unused 16*ngf `layer4` level is dropped."""
 
     opt: object
 
     @nn.compact
     def __call__(self, image, mask, train: bool = False):
         ngf = self.opt.ngf
-        x0 = ConvBlock(ngf, 7, 1, 3, pad_type="reflect", name="conv1")(image, train)
+        most = self.opt.num_upsampling_layers == "most"
+        if most:
+            x00 = ConvBlock(ngf // 2, 7, 1, 3, pad_type="reflect", name="conv0")(
+                image, train
+            )
+            x0 = ConvBlock(ngf, 4, 2, 1, pad_type="reflect", name="layer0")(
+                x00, train
+            )
+        else:
+            x0 = ConvBlock(ngf, 7, 1, 3, pad_type="reflect", name="conv1")(
+                image, train
+            )
         x1 = ConvBlock(2 * ngf, 4, 2, 1, pad_type="reflect", name="layer1")(x0, train)
         x2 = ConvBlock(4 * ngf, 4, 2, 1, pad_type="reflect", name="layer2")(x1, train)
         x3 = ConvBlock(8 * ngf, 4, 2, 1, pad_type="reflect", name="layer3")(x2, train)
-        x4 = ConvBlock(16 * ngf, 4, 2, 1, pad_type="reflect", name="layer4")(x3, train)
         bm = mask[..., 0:1]
         h, w = bm.shape[1], bm.shape[2]
-        bms = [bm] + [resize_nearest(bm, (h // f, w // f)) for f in (2, 4, 8, 16)]
-        return [x0, x1, x2, x3, x4], bms
+        bm1, bm2, bm3, bm4 = (
+            resize_nearest(bm, (h // f, w // f)) for f in (2, 4, 8, 16)
+        )
+        if most:
+            return [x3, x2, x1, x0, x00], [bm4, bm3, bm2, bm1, bm]
+        return [x3, x2, x1, x0], [bm3, bm2, bm1, bm]
 
 
 def _expanded_back_mask(opt, mask, extra_dilate_steps=None):

@@ -45,6 +45,10 @@ def gen_inputs(opt, key, n=1):
     ("more", {"add_feat_zeros": True, "add_th": 64}),
     ("more", {"use_encoder": False, "use_vae": True}),
     ("more", {"use_ig": False}),
+    # non-noise BackgroundEncode path: dead-broken in the reference
+    # (unreversed pyramid, PARITY.md) — rebuilt to the working contract
+    ("more", {"noise_background": False}),
+    ("most", {"noise_background": False}),
 ])
 def test_generator_forward(ups, extra):
     opt = small_opt(num_upsampling_layers=ups, **extra)
