@@ -267,7 +267,6 @@ class Options:
         "four_image_show", "which_settings", "which_random", "input_relation",
         "phase",
         # meaningful in the reference, intentionally inert here (documented)
-        "tf_log",        # scalar JSONL stream is always on (visualizer.py)
         "instance_dir",  # --no_instance defaults True in both; instance maps
                          # were never exercised by the shipped MichiGAN configs
     })

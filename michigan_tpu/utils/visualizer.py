@@ -60,6 +60,17 @@ class Visualizer:
         if self.use_html:
             self.web_dir = os.path.join(self.log_dir, "web")
             os.makedirs(os.path.join(self.web_dir, "images"), exist_ok=True)
+        # --tf_log: real TensorBoard summaries (scalars + images), the
+        # modern equivalent of the reference's TF-1 writer
+        # (util/visualizer.py:24-28,47-65); the JSONL stream stays on
+        # regardless
+        self.tf_writer = None
+        if getattr(opt, "tf_log", False):
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tf_writer = SummaryWriter(
+                log_dir=os.path.join(self.log_dir, "logs")
+            )
         with open(self.log_name, "a") as f:
             now = time.strftime("%c")
             f.write(f"================ Training Loss ({now}) ================\n")
@@ -73,18 +84,23 @@ class Visualizer:
             f.write(message + "\n")
 
     def plot_current_errors(self, errors: Dict, step: int):
-        """Machine-readable scalar stream (replaces the reference's optional
-        TF-1 summary writer behind --tf_log, visualizer.py:47-65): one JSON
-        object per print, consumable by any dashboard."""
+        """Machine-readable scalar stream: one JSON object per print,
+        consumable by any dashboard; with --tf_log the same scalars also go
+        to TensorBoard (the reference's TF-1 writer, visualizer.py:47-65)."""
         import json
 
         rec = {"step": int(step)}
         rec.update({k: float(np.mean(np.asarray(v))) for k, v in errors.items()})
         with open(self.scalar_log, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tf_writer is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tf_writer.add_scalar(k, v, global_step=int(step))
+            self.tf_writer.flush()
 
     def display_current_results(self, visuals: Dict, epoch: int, step: int):
-        if not self.use_html:
+        if not self.use_html and self.tf_writer is None:
             return
         ims, txts, links = [], [], []
         for label, image in visuals.items():
@@ -93,11 +109,20 @@ class Visualizer:
                 img = tensor2label(arr, self.opt.label_nc + 2)
             else:
                 img = tensor2im(arr)
+            if self.tf_writer is not None:
+                self.tf_writer.add_image(
+                    label, img, global_step=int(step),
+                    dataformats="HWC" if img.ndim == 3 else "HW",
+                )
+            if not self.use_html:
+                continue
             name = f"epoch{epoch:03d}_{label}.png"
             save_image(img, os.path.join(self.web_dir, "images", name))
             ims.append(name)
             txts.append(label)
             links.append(name)
+        if not self.use_html:
+            return
         gallery = HTMLGallery(self.web_dir, f"Experiment = {self.name}", refresh=5)
         for e in range(epoch, 0, -1):
             row = [n.replace(f"epoch{epoch:03d}", f"epoch{e:03d}") for n in ims]

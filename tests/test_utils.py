@@ -39,6 +39,27 @@ def test_visualizer_logs(tmp_path):
     assert "epoch002" not in html and "epoch003" not in html
 
 
+def test_visualizer_tf_log(tmp_path):
+    """--tf_log writes real TensorBoard event files (scalars + images),
+    like the reference's TF-1 writer (util/visualizer.py:24-28,47-65)."""
+    opt = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="tb",
+                  no_html=True, display_winsize=64, label_nc=2,
+                  tf_log=True).finalize()
+    viz = Visualizer(opt)
+    viz.plot_current_errors({"GAN": np.float32(0.5)}, step=1)
+    viz.display_current_results(
+        {"synthesized_image": np.zeros((8, 8, 3), np.float32)},
+        epoch=1, step=1,
+    )
+    viz.tf_writer.close()
+    logs = os.path.join(tmp_path, "tb", "logs")
+    events = [f for f in os.listdir(logs) if "tfevents" in f]
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(os.path.join(logs, events[0])) > 0
+    # no_html: nothing was written to web/
+    assert not os.path.exists(os.path.join(tmp_path, "tb", "web", "index.html"))
+
+
 def test_iteration_counter_triggers_and_resume(tmp_path):
     opt = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="ic",
                   batchSize=4, niter=2, niter_decay=1, print_freq=8,
