@@ -46,6 +46,41 @@ def load_checkpoint(opt, epoch) -> Optional[Dict[str, Any]]:
     return ckptr.restore(path)
 
 
+def restore_train_state(opt, epoch, state):
+    """Restore a saved TrainState INTO `state`'s pytree structure.
+
+    A raw orbax restore yields plain dicts, which silently destroys the
+    optax NamedTuple states (e.g. InjectHyperparamsState) — the first
+    resumed optimizer update then crashes on `.hyperparams`.  Restoring
+    against an `item=` template rebuilds the exact structure.  Returns
+    None when no checkpoint exists.
+    """
+    import jax.numpy as jnp
+
+    path = _ckpt_dir(opt, epoch)
+    if not os.path.exists(path):
+        return None
+    template = {
+        "variables": state.variables,
+        "opt_g": state.opt_g_state,
+        "opt_d": state.opt_d_state,
+        "opt_d2": state.opt_d2_state,
+        "step": state.step,
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    data = ckptr.restore(
+        path, item=jax.tree_util.tree_map(np.asarray, template)
+    )
+    as_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    return state.replace(
+        variables=as_dev(data["variables"]),
+        opt_g_state=as_dev(data["opt_g"]),
+        opt_d_state=as_dev(data["opt_d"]),
+        opt_d2_state=as_dev(data["opt_d2"]),
+        step=jnp.asarray(data["step"]),
+    )
+
+
 def load_variables(opt, epoch) -> Optional[Dict[str, Any]]:
     data = load_checkpoint(opt, epoch)
     if data is None:

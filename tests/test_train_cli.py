@@ -1,0 +1,60 @@
+"""End-to-end train.py CLI regression: the DEFAULT flag set (non-noise
+background path) through the full epoch loop — dataloader, jit'd G/D
+steps, visualizer, checkpoint save, and resume.  This is the surface where
+a broken default (e.g. the reference's dead non-noise BackgroundEncode
+pyramid) hides from module-level tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import train as train_cli
+
+
+@pytest.fixture
+def tiny_train_dataset(tmp_path):
+    base = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for sub in ("train_labels", "train_images", "train_dense_orients"):
+        (base / sub).mkdir(parents=True)
+    for i in range(8):
+        name = f"{i:05d}"
+        lab = (rng.integers(0, 2, (64, 64)) * 1).astype(np.uint8)
+        Image.fromarray(lab, "L").save(base / "train_labels" / f"{name}.png")
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        Image.fromarray(img).save(base / "train_images" / f"{name}.jpg")
+        ori = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+        Image.fromarray(ori, "L").save(
+            base / "train_dense_orients" / f"{name}.png"
+        )
+    return str(base)
+
+
+def test_train_cli_default_flags_and_resume(tiny_train_dataset, tmp_path):
+    ck = str(tmp_path / "ck")
+    args = [
+        "--name", "clirun", "--checkpoints_dir", ck,
+        "--data_dir", tiny_train_dataset,
+        "--niter", "1", "--batchSize", "8",
+        "--crop_size", "64", "--load_size", "64",
+        "--ngf", "4", "--ndf", "4", "--gpu_ids", "-1",
+        "--print_freq", "1", "--display_freq", "1", "--save_epoch_freq", "1",
+        "--save_latest_freq", "8",
+        "--nThreads", "1",
+    ]
+    train_cli.main(args)
+    run_dir = os.path.join(ck, "clirun")
+    assert os.path.exists(os.path.join(run_dir, "loss_log.txt"))
+    assert os.path.exists(os.path.join(run_dir, "opt.json"))
+    assert os.path.exists(os.path.join(run_dir, "iter.txt"))
+    assert os.path.exists(os.path.join(run_dir, "web", "index.html"))
+    # checkpoints landed: orbax dir per epoch tag + 'latest'
+    saved = os.listdir(run_dir)
+    assert "latest" in saved and "1" in saved, saved
+
+    # resume: --continue_train restores and runs one more epoch
+    train_cli.main(args + ["--continue_train", "--niter", "2"])
+    log = open(os.path.join(run_dir, "loss_log.txt")).read()
+    assert "epoch: 2" in log

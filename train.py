@@ -141,15 +141,9 @@ def main(argv=None):
         variables["netD2"] = jax.tree_util.tree_map(lambda a: a, variables["netD"])
     state = TrainState.create(opt, variables)
     if opt.continue_train:
-        restored = CK.load_checkpoint(opt, opt.which_epoch)
+        restored = CK.restore_train_state(opt, opt.which_epoch, state)
         if restored is not None:
-            state = state.replace(
-                variables=restored["variables"],
-                opt_g_state=jax.tree_util.tree_map(
-                    jnp.asarray, restored["opt_g"]
-                ) if restored.get("opt_g") is not None else state.opt_g_state,
-                step=jnp.asarray(restored.get("step", 0)),
-            )
+            state = restored
             print(f"resumed checkpoint '{opt.which_epoch}'")
     del variables
 
