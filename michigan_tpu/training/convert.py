@@ -158,17 +158,18 @@ def convert_generator(state: Mapping[str, Any], opt) -> Dict[str, Dict]:
 
     rw.conv("conv_img", ("conv_img",), state)
 
-    # background encoder
+    # background encoder — both variants share the working pyramid
+    # structure now (the reference's non-noise BackgroundEncode was a
+    # dead-broken path, rebuilt to BackgroundEncode2's contract; its
+    # unused 16*ngf layer4 is dropped here and ignored in checkpoints)
     be = "backgroud_enc"
-    if opt.num_upsampling_layers == "most" and opt.noise_background:
+    if opt.num_upsampling_layers == "most":
         rw.conv(be + ".conv0.conv", (be, "conv0", "conv"), state)
         rw.conv(be + ".layer0.conv", (be, "layer0", "conv"), state)
     else:
         rw.conv(be + ".conv1.conv", (be, "conv1", "conv"), state)
-    layers = range(1, 4) if opt.noise_background else range(1, 5)
-    for i in layers:
+    for i in range(1, 4):
         rw.conv(be + f".layer{i}.conv", (be, f"layer{i}", "conv"), state)
-    # (noise_background checkpoints contain an unused layer4 — ignored)
 
     return rw.variables()
 
