@@ -58,3 +58,20 @@ def test_train_cli_default_flags_and_resume(tiny_train_dataset, tmp_path):
     train_cli.main(args + ["--continue_train", "--niter", "2"])
     log = open(os.path.join(run_dir, "loss_log.txt")).read()
     assert "epoch: 2" in log
+
+
+def test_train_cli_bf16_compact_transfer(tiny_train_dataset, tmp_path):
+    """--dtype bfloat16 enables the compact host->device transfer (bf16
+    images/noise, uint8 masks); the epoch loop must train to finite
+    losses through it."""
+    ck = str(tmp_path / "ck16")
+    train_cli.main([
+        "--name", "clirun16", "--checkpoints_dir", ck,
+        "--data_dir", tiny_train_dataset,
+        "--niter", "1", "--batchSize", "8",
+        "--crop_size", "64", "--load_size", "64",
+        "--ngf", "4", "--ndf", "4", "--gpu_ids", "-1",
+        "--dtype", "bfloat16", "--print_freq", "1", "--no_html",
+    ])
+    log = open(os.path.join(ck, "clirun16", "loss_log.txt")).read()
+    assert "GAN:" in log and "nan" not in log.lower()
