@@ -48,6 +48,18 @@ def make_spatial_infer(model, mesh: Mesh):
     )
 
 
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for NHWC batch arrays on `mesh`: N over 'data' (if the
+    mesh has it), H over 'space' (if the mesh has it).  A 2-D
+    `make_mesh("data:2,space:4")` composes batch parallelism with spatial
+    activation sharding in one program — GSPMD handles both."""
+    from michigan_tpu.parallel.mesh import DATA_AXIS
+
+    n = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    h = SPACE_AXIS if SPACE_AXIS in mesh.axis_names else None
+    return P(n, h)
+
+
 def shard_batch(batch, mesh: Mesh):
-    row = NamedSharding(mesh, P(None, SPACE_AXIS))
+    row = NamedSharding(mesh, batch_spec(mesh))
     return {k: jax.device_put(v, row) for k, v in batch.items()}

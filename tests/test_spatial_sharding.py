@@ -148,3 +148,53 @@ def test_spatial_sharded_train_step_matches():
         # measured) — every other loss matches to float tolerance
         tol = 2e-2 if k == "ORIENT" else 1e-3
         assert abs(a - b) <= tol * (1.0 + abs(a)), f"{k}: {a} vs {b}"
+
+
+def test_data_x_spatial_2d_mesh_train_step_matches():
+    """Composed 2-D parallelism: one mesh `data:2,space:4`, batch N sharded
+    over 'data' AND activations H-sharded over 'space' in the same train
+    step (shard_batch places P('data','space')); GSPMD inserts the batch
+    reductions and conv halo exchanges together.  Losses match the
+    unsharded step — the topology for multi-chip 1024^2 training where
+    neither axis alone fits (PERF.md per-chip ceilings)."""
+    from michigan_tpu.parallel.mesh import make_mesh
+    from michigan_tpu.parallel.spatial import shard_batch
+    from michigan_tpu.training.state import TrainState
+    from michigan_tpu.training.train_step import make_train_steps
+
+    assert jax.device_count() >= 8
+    opt = Options(
+        isTrain=True, crop_size=64, load_size=64, ngf=8, ndf=8, batchSize=2,
+        use_encoder=True, use_ig=True, noise_background=True,
+        random_expand_mask=True, no_vgg_loss=True, donate_buffers=False,
+    ).finalize()
+    model, g_step, d_step = make_train_steps(opt)
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(2)
+    s, n = 64, 2
+    batch = {k: jnp.asarray(v) for k, v in {
+        "label_ref": r.integers(0, 2, (n, s, s, 1)).astype(np.float32),
+        "label_tag": r.integers(0, 2, (n, s, s, 1)).astype(np.float32),
+        "image_ref": r.uniform(-1, 1, (n, s, s, 3)).astype(np.float32),
+        "image_tag": r.uniform(-1, 1, (n, s, s, 3)).astype(np.float32),
+        "orient": r.uniform(0, 255, (n, s, s, 1)).astype(np.float32),
+        "hole": r.integers(0, 2, (n, s, s, 1)).astype(np.float32),
+        "orient_rgb": r.uniform(0, 1, (n, s, s, 3)).astype(np.float32),
+        "noise": r.uniform(0, 1, (n, s, s, 3)).astype(np.float32)}.items()}
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(2, jnp.int32)
+
+    s1, gl1, _, o1 = g_step(state, batch, rng, extra)
+    s1, dl1 = d_step(s1, batch, rng, extra, orient=o1)
+
+    mesh = make_mesh("data:2,space:4", devices=jax.devices()[:8])
+    sharded = shard_batch(batch, mesh)
+    s2, gl2, _, o2 = g_step(state, sharded, rng, extra)
+    s2, dl2 = d_step(s2, sharded, rng, extra, orient=o2)
+
+    for k in {**gl1, **dl1}:
+        a = float((gl1 | dl1)[k])
+        b = float((gl2 | dl2)[k])
+        tol = 2e-2 if k == "ORIENT" else 1e-3
+        assert abs(a - b) <= tol * (1.0 + abs(a)), f"{k}: {a} vs {b}"
