@@ -1,0 +1,109 @@
+"""Real multi-process (multi-host analog) execution.
+
+The reference cannot distribute beyond one host (DataParallel + thread-queue
+sync-BN, SURVEY §2.7).  This framework's claim is that the same data mesh
+spans processes via jax.distributed — these tests *execute* that claim by
+spawning worker processes connected through the coordination service with
+Gloo CPU collectives (each owning virtual CPU devices), instead of merely
+sharding over one process's 8 virtual devices.
+
+The cross-process reduction test always runs (~1 min).  The full G+D
+train-step version (scripts/multiprocess_train.py) is gated behind
+MICHIGAN_RUN_MP=1 — it compiles the whole training program twice
+concurrently, which is minutes on a small CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PSUM_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    rank, port = int(sys.argv[1]), sys.argv[2]
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=2, process_id=rank)
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from michigan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("data:-1")  # all 4 global devices, 2 per process
+    local = np.arange(2, dtype=np.float32) + 2 * rank  # rank0 [0,1] rank1 [2,3]
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local)
+    out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    val = float(jax.device_get(out.addressable_shards[0].data))
+    print(f"PSUM {rank} {val}", flush=True)
+    """
+)
+
+
+def _fresh_env(devices_per_proc: int):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+        " --xla_cpu_max_isa=AVX2"
+    )
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_cross_process_reduction():
+    """A global-batch sum over a 2-process x 2-device mesh must see every
+    process's shard (6.0 = 0+1+2+3) on both ranks."""
+    port = _free_port()
+    env = _fresh_env(2)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _PSUM_WORKER, str(r), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO,
+        )
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        lines = [l for l in out.splitlines() if l.startswith("PSUM ")]
+        assert lines, f"rank {r} printed no result:\n{out}"
+        assert float(lines[0].split()[2]) == 6.0, lines[0]
+
+
+@pytest.mark.skipif(
+    os.environ.get("MICHIGAN_RUN_MP") != "1",
+    reason="full multi-process train step is minutes of CPU compile; "
+    "set MICHIGAN_RUN_MP=1 (or run scripts/multiprocess_train.py)",
+)
+def test_multiprocess_train_step():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multiprocess_train.py")],
+        capture_output=True, text=True, timeout=5400, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "multiprocess_train OK" in r.stdout
