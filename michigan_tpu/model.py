@@ -153,7 +153,11 @@ class MichiGANModel:
         opt = self.opt
         if opt.crop_size != 256 or inp.shape[1] != 256:
             inp = resize_nearest(inp, (256, 256))
-        out = net.apply(variables, inp)
+        # frozen tower follows the compute policy: under --dtype bfloat16 the
+        # IG conv stack runs bf16 (half the HBM traffic, double MXU rate);
+        # the orient decode and compositing stay fp32
+        out = net.apply(variables, inp.astype(self.compute_dtype))
+        out = out.astype(jnp.float32)
         if out.shape[1] != opt.crop_size:
             out = resize_nearest(out, (opt.crop_size, opt.crop_size))
         return out
@@ -375,11 +379,18 @@ class MichiGANModel:
             jnp.sum(jnp.abs(label_tag - label_ref)) == 0
         ).astype(jnp.float32)
 
-        vgg_apply = lambda x: self.vgg.apply(variables["vgg"], x)
+        def _vgg_tower(x):
+            # the conv tower runs at the compute dtype (bf16 halves its HBM
+            # traffic / doubles MXU rate); features are handed to the losses
+            # as fp32 so every reduction accumulates at full precision
+            feats = self.vgg.apply(variables["vgg"], x.astype(self.compute_dtype))
+            return [t.astype(jnp.float32) for t in feats]
+
+        vgg_apply = _vgg_tower
         if getattr(opt, "remat", False):
             # rematerialize the frozen VGG tower in the backward pass —
             # its relu1 activations at 512^2 dominate HBM otherwise
-            vgg_apply = jax.checkpoint(vgg_apply)
+            vgg_apply = jax.checkpoint(_vgg_tower)
 
         if curr_step == 1:
             # one VGG forward per distinct image; fake/tag features shared
