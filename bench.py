@@ -45,6 +45,10 @@ def main():
     # img/s; bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at
     # default XLA precision; bf16 training quality validated (ROADMAP)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # fused one-program G+D is the 512^2 config of record; kept off by
+    # default at 1024^2 (bs1 + full remat is already at the memory edge)
+    fused = mode == "train" and os.environ.get(
+        "BENCH_FUSED", "1" if size < 1024 else "0") == "1"
 
     opt = Options(
         isTrain=(mode == "train"), phase="test", batchSize=batch_size,
@@ -52,15 +56,28 @@ def main():
         use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
         random_expand_mask=(mode == "train"),
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G);
-        # bf16 fits and runs faster without it
+        # bf16 fits and runs faster without it — EXCEPT the fused
+        # one-program step, whose G+D live ranges coexist: it needs just
+        # the largest block (up_3) rematerialized to fit, and still beats
+        # the sequential pair (13.63 vs 12.53 img/s — PERF.md)
         remat=(mode == "train" and os.environ.get(
-            "BENCH_REMAT", "1" if dtype == "float32" else "0") == "1"),
+            "BENCH_REMAT",
+            "1" if (dtype == "float32" or fused) else "0") == "1"),
+        # BENCH_REMAT_BLOCKS: selective remat (default for the fused step:
+        # "up_3" — the minimum that fits; measured faster than up_2)
+        remat_blocks=os.environ.get(
+            "BENCH_REMAT_BLOCKS", "up_3" if fused else "all"),
         num_upsampling_layers="most" if size >= 1024 else "more", dtype=dtype,
         # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
         # (default matches the config default: off — PERF.md policy)
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
         # BENCH_REUSE_FAKE=1: D trains on the G step's fake (config docs)
         reuse_fake_for_d=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
+        # G+D updates as one compiled program — identical semantics to the
+        # sequential pair (test_fused_step_matches_sequential), one
+        # dispatch/step; default ON for the training config of record
+        # (BENCH_FUSED=0 gives the sequential A/B)
+        fused_step=fused,
         donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
     ).finalize()
     model = MichiGANModel(opt)
@@ -88,18 +105,26 @@ def main():
         from michigan_tpu.training.state import TrainState
         from michigan_tpu.training.train_step import make_train_steps
 
-        model2, g_step, d_step = make_train_steps(opt)
+        steps = make_train_steps(opt, with_fused=opt.fused_step)
+        g_step, d_step = steps[1], steps[2]
         state = TrainState.create(opt, variables)
         extra = jnp.asarray(2, jnp.int32)
 
-        def one_step(state):
-            state, g_losses, fake, orient = g_step(state, batch, key, extra)
-            state, d_losses = d_step(
-                state, batch, key, extra,
-                fake=fake if opt.reuse_fake_for_d else None,
-                orient=orient,
-            )
-            return state, g_losses["GAN"]
+        if opt.fused_step:
+            fused = steps[3]
+
+            def one_step(state):
+                state, g_losses, d_losses, _fake = fused(state, batch, key, extra)
+                return state, g_losses["GAN"]
+        else:
+            def one_step(state):
+                state, g_losses, fake, orient = g_step(state, batch, key, extra)
+                state, d_losses = d_step(
+                    state, batch, key, extra,
+                    fake=fake if opt.reuse_fake_for_d else None,
+                    orient=orient,
+                )
+                return state, g_losses["GAN"]
 
         state, s0 = one_step(state)
         float(s0)  # compile + warmup (value fetch = the only honest sync)

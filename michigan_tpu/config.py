@@ -246,6 +246,11 @@ class Options:
     # D step reuses the G step's frozen-IG inpainted orientation — bit-exact
     # (pure function of frozen weights + batch), skips one IG forward/step
     reuse_orient_for_d: bool = True
+    # compile the G update + D update as ONE program (semantics identical
+    # to the sequential pair — D recomputes with post-update G): one
+    # dispatch/step, G optimizer update overlaps the D pass.  Used when
+    # G/D alternate 1:1 (D_steps_per_G == G_steps_per_D == 1)
+    fused_step: bool = False
     # train.py input pipeline: batches transferred ahead of the running
     # step by a feeder thread (0 disables); in bf16 training, tensors ship
     # in compact dtypes (see train.py device_batch)

@@ -43,12 +43,22 @@ def _merge_updates(variables, net_name, updates):
     return out
 
 
-def make_train_steps(opt, mesh=None, ab_count=None):
+def make_train_steps(opt, mesh=None, ab_count=None, with_fused=False):
     """Builds the model (with the mesh's axis name threaded into the
     syncbatch-norm modules) and returns (model, g_step, d_step):
       g_step(state, batch, rng, extra_dilate) -> (state, losses, fake, orient)
       d_step(state, batch, rng, extra_dilate, fake=None, orient=None)
         -> (state, losses)
+
+    With `with_fused=True` a 4th element is returned:
+      fused_step(state, batch, rng, extra_dilate)
+        -> (state, g_losses, d_losses, fake)
+    — the G update and the D update compiled as ONE program (same
+    semantics as g_step followed by d_step: D's recompute sees the
+    post-update G params, exactly like the sequential pair and the
+    reference's eager alternation).  One dispatch per step instead of two,
+    and XLA's scheduler can overlap the G optimizer update with the start
+    of the D pass.  Only meaningful for 1:1 G/D alternation.
 
     With --unpairTrain, the reference re-dispatches the stage eagerly every
     step (pix2pix_trainer.py:61-77; train.py:42-95 alternates per epoch).
@@ -94,7 +104,7 @@ def make_train_steps(opt, mesh=None, ab_count=None):
 
         return g_step_local
 
-    def make_d_step_local(curr_step, reuse_fake=False, reuse_orient=False):
+    def make_d_body(curr_step):
         d_name = "netD2" if (opt.unpairTrain and curr_step == 2) else "netD"
 
         def body(state: TrainState, batch, rng, extra_dilate, fake, orient):
@@ -126,6 +136,11 @@ def make_train_steps(opt, mesh=None, ab_count=None):
             else:
                 state = state.replace(variables=variables, opt_d_state=new_opt_state)
             return state, losses
+
+        return body
+
+    def make_d_step_local(curr_step, reuse_fake=False, reuse_orient=False):
+        body = make_d_body(curr_step)
 
         if reuse_fake and reuse_orient:
             def d_step_local(state, batch, rng, extra_dilate, fake, orient):
@@ -197,4 +212,32 @@ def make_train_steps(opt, mesh=None, ab_count=None):
         )
         return d_steps[(s, rf, ro)](state, batch, rng, extra_dilate, *args)
 
-    return model, g_step, d_step
+    if not with_fused:
+        return model, g_step, d_step
+
+    def make_fused_local(curr_step):
+        g_local = make_g_step_local(curr_step)
+        d_body = make_d_body(curr_step)
+
+        def fused_local(state, batch, rng, extra_dilate):
+            state, g_losses, fake, orient = g_local(state, batch, rng, extra_dilate)
+            state, d_losses = d_body(
+                state, batch, rng, extra_dilate,
+                fake if reuse_fake else None,
+                orient if reuse_orient else None,
+            )
+            return state, g_losses, d_losses, fake
+
+        return fused_local
+
+    fused_steps = {
+        s: compile_step(make_fused_local(s), (rep, rep, rep, batch_spec))
+        for s in stages
+    }
+
+    def fused_step(state, batch, rng, extra_dilate):
+        return fused_steps[opt.curr_step if opt.unpairTrain else 1](
+            state, batch, rng, extra_dilate
+        )
+
+    return model, g_step, d_step, fused_step

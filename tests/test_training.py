@@ -189,6 +189,43 @@ def test_reuse_fake_for_d_matches_recompute():
         )
 
 
+def test_fused_step_matches_sequential():
+    """--fused_step: the one-program G+D update must reproduce the sequential
+    g_step -> d_step pair (same post-step params, same losses) — it is the
+    same computation handed to XLA as a single module."""
+    opt = tiny_opt(fused_step=True)
+    model, g_step, d_step, fused_step = make_train_steps(opt, with_fused=True)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    extra = jnp.asarray(1, jnp.int32)
+
+    state_a = TrainState.create(opt, variables)
+    state_a, g_a, fake_a, orient_a = g_step(state_a, batch, rng, extra)
+    state_a, d_a = d_step(state_a, batch, rng, extra, orient=orient_a)
+
+    state_b = TrainState.create(opt, variables)
+    state_b, g_b, d_b, _fake = fused_step(state_b, batch, rng, extra)
+
+    # Not bit-exact: the single module lets XLA fuse/reassociate float
+    # reductions differently than the two-program pair (observed: 1 param
+    # element in ~1.5e5 off by ~1e-6).  Tolerances cover that noise while
+    # still catching any semantic divergence (wrong params/stage/losses).
+    for k in g_a:
+        np.testing.assert_allclose(
+            np.asarray(g_a[k]), np.asarray(g_b[k]), rtol=1e-4, atol=1e-5)
+    for k in d_a:
+        np.testing.assert_allclose(
+            np.asarray(d_a[k]), np.asarray(d_b[k]), rtol=1e-4, atol=1e-5)
+    for net in ("netG", "netD"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_a.variables[net]["params"]),
+            jax.tree_util.tree_leaves(state_b.variables[net]["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_reuse_orient_for_d_is_exact():
     """reuse_orient_for_d (default on): handing d_step the G step's
     frozen-IG inpainted orientation must give EXACTLY the recompute losses —

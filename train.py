@@ -121,7 +121,16 @@ def main(argv=None):
     if opt.balance_Lab and os.path.exists(opt.weight_dir):
         ab_count = load_ab_count(opt.weight_dir)
 
-    model, g_step, d_step = make_train_steps(opt, mesh=mesh, ab_count=ab_count)
+    use_fused = (
+        opt.fused_step and opt.D_steps_per_G == 1 and opt.G_steps_per_D == 1
+        and not opt.no_discriminator
+    )
+    if use_fused:
+        model, g_step, d_step, fused_step = make_train_steps(
+            opt, mesh=mesh, ab_count=ab_count, with_fused=True
+        )
+    else:
+        model, g_step, d_step = make_train_steps(opt, mesh=mesh, ab_count=ab_count)
 
     iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
     visualizer = Visualizer(opt)
@@ -165,13 +174,17 @@ def main(argv=None):
             g_losses = d_losses = {}
             fake = None
             orient = None
-            if i % opt.D_steps_per_G == 0:
-                state, g_losses, fake, orient = g_step(
+            if use_fused:
+                state, g_losses, d_losses, fake = fused_step(
                     state, batch, step_rng, extra)
-            if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
-                reuse = fake if opt.reuse_fake_for_d else None
-                state, d_losses = d_step(state, batch, step_rng, extra,
-                                         fake=reuse, orient=orient)
+            else:
+                if i % opt.D_steps_per_G == 0:
+                    state, g_losses, fake, orient = g_step(
+                        state, batch, step_rng, extra)
+                if i % opt.G_steps_per_D == 0 and not opt.no_discriminator:
+                    reuse = fake if opt.reuse_fake_for_d else None
+                    state, d_losses = d_step(state, batch, step_rng, extra,
+                                             fake=reuse, orient=orient)
 
             if opt.debug_nans and (g_losses or d_losses):
                 for k, v in {**g_losses, **d_losses}.items():
