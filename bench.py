@@ -13,79 +13,29 @@ TPU chip under the driver.  Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 against a self-recorded prior value in BENCH_BASELINE.json when present,
 else null.
+
+The training config of record (fused one-program G+D, up_3-only remat) sits
+~300 MB under the 16 GB HBM line; the relay chip is shared, so a transient
+squeeze can OOM it.  Rather than record a failed run, the bench steps down a
+fallback ladder (more remat -> sequential G/D) and reports whichever config
+completed (the step-down is logged to stderr).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from michigan_tpu.config import Options
-    from michigan_tpu.model import MichiGANModel
-
-    # default = the BASELINE.md primary target: bs8 512^2 training
-    # throughput in the recommended config (bf16 — validated against fp32
-    # by scripts/bf16_quality.py — no remat, reference step semantics).
-    # BENCH_MODE=infer gives the round-1 headline (bs32 512^2 inference).
-    mode = os.environ.get("BENCH_MODE", "train")
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    # BENCH_SIZE=1024 measures the 'most' stretch resolution (bs4 default)
-    default_bs = "8" if mode == "train" else ("4" if size >= 1024 else "32")
-    batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
-    iters = int(os.environ.get("BENCH_ITERS", str(Options().bench_iters)))
-    # bf16 activations win at every batch size (inference bs8: 76.7 vs 68.6
-    # img/s; bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at
-    # default XLA precision; bf16 training quality validated (ROADMAP)
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # fused one-program G+D is the 512^2 config of record; kept off by
-    # default at 1024^2 (bs1 + full remat is already at the memory edge)
-    fused = mode == "train" and os.environ.get(
-        "BENCH_FUSED", "1" if size < 1024 else "0") == "1"
-
-    opt = Options(
-        isTrain=(mode == "train"), phase="test", batchSize=batch_size,
-        crop_size=size, load_size=size, netG="spadeb", use_encoder=True,
-        use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
-        random_expand_mask=(mode == "train"),
-        # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G);
-        # bf16 fits and runs faster without it — EXCEPT the fused
-        # one-program step, whose G+D live ranges coexist: it needs just
-        # the largest block (up_3) rematerialized to fit, and still beats
-        # the sequential pair (13.63 vs 12.53 img/s — PERF.md)
-        remat=(mode == "train" and os.environ.get(
-            "BENCH_REMAT",
-            "1" if (dtype == "float32" or fused) else "0") == "1"),
-        # BENCH_REMAT_BLOCKS: selective remat (default for the fused step:
-        # "up_3" — the minimum that fits; measured faster than up_2)
-        remat_blocks=os.environ.get(
-            "BENCH_REMAT_BLOCKS", "up_3" if fused else "all"),
-        num_upsampling_layers="most" if size >= 1024 else "more", dtype=dtype,
-        # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
-        # (default matches the config default: off — PERF.md policy)
-        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
-        # BENCH_REUSE_FAKE=1: D trains on the G step's fake (config docs)
-        reuse_fake_for_d=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
-        # G+D updates as one compiled program — identical semantics to the
-        # sequential pair (test_fused_step_matches_sequential), one
-        # dispatch/step; default ON for the training config of record
-        # (BENCH_FUSED=0 gives the sequential A/B)
-        fused_step=fused,
-        donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
-    ).finalize()
-    model = MichiGANModel(opt)
-
+def _build_batch(jnp, batch_size, size):
     rng_np = np.random.default_rng(0)
-    s = opt.crop_size
-    n = batch_size
-    batch = {
+    s, n = size, batch_size
+    return {
         "label_ref": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
         "label_tag": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
         "image_ref": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
@@ -96,44 +46,151 @@ def main():
         "noise": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), jnp.float32),
     }
 
+
+def _make_opt(mode, size, batch_size, dtype, fused, remat, remat_blocks):
+    from michigan_tpu.config import Options
+
+    return Options(
+        isTrain=(mode == "train"), phase="test", batchSize=batch_size,
+        crop_size=size, load_size=size, netG="spadeb", use_encoder=True,
+        use_ig=True, noise_background=True, expand_mask_be=True, expand_th=5,
+        random_expand_mask=(mode == "train"),
+        remat=remat,
+        remat_blocks=remat_blocks,
+        num_upsampling_layers="most" if size >= 1024 else "more", dtype=dtype,
+        # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
+        # (default matches the config default: off — PERF.md policy)
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # BENCH_REUSE_FAKE=1: D trains on the G step's fake (config docs)
+        reuse_fake_for_d=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
+        fused_step=fused,
+        donate_buffers=(mode == "train"),  # duplicate train state OOMs otherwise
+    ).finalize()
+
+
+def _run_train(opt, batch_size, size, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.model import MichiGANModel
+    from michigan_tpu.training.state import TrainState
+    from michigan_tpu.training.train_step import make_train_steps
+
+    model = MichiGANModel(opt)
+    batch = _build_batch(jnp, batch_size, size)
     key = jax.random.PRNGKey(0)
     # jit the init too: eager init is hundreds of tiny dispatches, which is
     # pathological through the remote-TPU relay
     variables = jax.jit(model.init_variables)(key, batch)
 
+    steps = make_train_steps(opt, with_fused=opt.fused_step)
+    g_step, d_step = steps[1], steps[2]
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(2, jnp.int32)
+
+    if opt.fused_step:
+        fused = steps[3]
+
+        def one_step(state):
+            state, g_losses, d_losses, _fake = fused(state, batch, key, extra)
+            return state, g_losses["GAN"]
+    else:
+        def one_step(state):
+            state, g_losses, fake, orient = g_step(state, batch, key, extra)
+            state, d_losses = d_step(
+                state, batch, key, extra,
+                fake=fake if opt.reuse_fake_for_d else None,
+                orient=orient,
+            )
+            return state, g_losses["GAN"]
+
+    state, s0 = one_step(state)
+    float(s0)  # compile + warmup (value fetch = the only honest sync)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, sv = one_step(state)
+    float(sv)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def _is_oom(exc) -> bool:
+    msg = str(exc)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.model import MichiGANModel
+
+    # default = the BASELINE.md primary target: bs8 512^2 training
+    # throughput in the recommended config (bf16 — validated against fp32
+    # by scripts/bf16_quality.py — fused one-program G+D step with
+    # up_3-only remat, reference step semantics: D recomputes the fake).
+    # BENCH_MODE=infer gives the round-1 headline (bs32 512^2 inference).
+    mode = os.environ.get("BENCH_MODE", "train")
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    # BENCH_SIZE=1024 measures the 'most' stretch resolution (bs4 default)
+    default_bs = "8" if mode == "train" else ("4" if size >= 1024 else "32")
+    batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
+    from michigan_tpu.config import Options
+    iters = int(os.environ.get("BENCH_ITERS", str(Options().bench_iters)))
+    # bf16 activations win at every batch size (inference bs8: 76.7 vs 68.6
+    # img/s; bs32: 84.7, and fp32 OOMs there) with bit-equal outputs at
+    # default XLA precision; bf16 training quality validated (ROADMAP)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # fused one-program G+D is the 512^2 config of record; kept off by
+    # default at 1024^2 (bs1 + full remat is already at the memory edge)
+    fused = mode == "train" and os.environ.get(
+        "BENCH_FUSED", "1" if size < 1024 else "0") == "1"
+
     if mode == "train":
-        from michigan_tpu.training.state import TrainState
-        from michigan_tpu.training.train_step import make_train_steps
+        # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G); bf16
+        # fits and runs faster without it — EXCEPT the fused one-program
+        # step, whose G+D live ranges coexist: it needs just the largest
+        # block (up_3) rematerialized to fit, and still beats the
+        # sequential pair (13.63 vs 12.53 img/s — PERF.md)
+        remat = os.environ.get(
+            "BENCH_REMAT", "1" if (dtype == "float32" or fused) else "0") == "1"
+        # BENCH_REMAT_BLOCKS: selective remat (default for the fused step:
+        # "up_3" — the minimum that fits; measured faster than up_2)
+        remat_blocks = os.environ.get(
+            "BENCH_REMAT_BLOCKS", "up_3" if fused else "all")
 
-        steps = make_train_steps(opt, with_fused=opt.fused_step)
-        g_step, d_step = steps[1], steps[2]
-        state = TrainState.create(opt, variables)
-        extra = jnp.asarray(2, jnp.int32)
+        # fallback ladder: requested config first, then progressively more
+        # rematerialization, then the sequential two-program step
+        ladder = [(fused, remat, remat_blocks)]
+        if fused:
+            if remat_blocks != "all":
+                ladder.append((True, True, "up_2,up_3"))
+                ladder.append((True, True, "all"))
+            ladder.append((False, dtype == "float32", "all"))
+        elif not remat:
+            ladder.append((False, True, "all"))
 
-        if opt.fused_step:
-            fused = steps[3]
+        imgs_per_sec = None
+        last_exc = None
+        for i, (f, r, rb) in enumerate(ladder):
+            opt = _make_opt(mode, size, batch_size, dtype, f, r, rb)
+            try:
+                imgs_per_sec = _run_train(opt, batch_size, size, iters)
+                if i > 0:
+                    print(
+                        "bench: config of record OOMed on this chip; "
+                        f"measured fallback fused={f} remat={r} blocks={rb}",
+                        file=sys.stderr)
+                break
+            except Exception as e:  # noqa: BLE001 — re-raised unless OOM
+                if not _is_oom(e) or i == len(ladder) - 1:
+                    raise
+                last_exc = e
+                print(
+                    f"bench: OOM at fused={f} remat={r} blocks={rb}; "
+                    "stepping down the fallback ladder", file=sys.stderr)
+                gc.collect()
 
-            def one_step(state):
-                state, g_losses, d_losses, _fake = fused(state, batch, key, extra)
-                return state, g_losses["GAN"]
-        else:
-            def one_step(state):
-                state, g_losses, fake, orient = g_step(state, batch, key, extra)
-                state, d_losses = d_step(
-                    state, batch, key, extra,
-                    fake=fake if opt.reuse_fake_for_d else None,
-                    orient=orient,
-                )
-                return state, g_losses["GAN"]
-
-        state, s0 = one_step(state)
-        float(s0)  # compile + warmup (value fetch = the only honest sync)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, sv = one_step(state)
-        float(sv)
-        dt = time.perf_counter() - t0
-        imgs_per_sec = batch_size * iters / dt
         metric = "%dpx_train_step_throughput_bs%d" % (size, batch_size)
         print(json.dumps({
             "metric": metric,
@@ -142,6 +199,12 @@ def main():
             "vs_baseline": _vs_baseline(metric, imgs_per_sec),
         }))
         return
+
+    opt = _make_opt(mode, size, batch_size, dtype, False, False, "all")
+    model = MichiGANModel(opt)
+    batch = _build_batch(jnp, batch_size, size)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init_variables)(key, batch)
 
     @jax.jit
     def infer_sum(variables, batch):

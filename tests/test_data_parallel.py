@@ -88,3 +88,42 @@ def test_sharded_step_matches_single_device():
     sb = jax.tree_util.tree_leaves(state_m.variables["netG"]["batch_stats"])
     for a, b in zip(sa, sb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_step_sharded_matches_single_device():
+    """The fused one-program G+D step (the 512^2 config of record) must give
+    the same losses/params over the 8-way data mesh as on one device — the
+    shard_map wrapping composes with the fused body exactly like the
+    sequential pair."""
+    assert jax.device_count() >= 8
+    opt = tiny_opt()
+    opt.fused_step = True
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    extra = jnp.asarray(1, jnp.int32)
+
+    model_s, *_rest, fused_single = make_train_steps(
+        opt, mesh=None, with_fused=True)
+    variables = model_s.init_variables(rng, batch)
+    state_s = TrainState.create(opt, variables)
+    state_s, g_losses_s, d_losses_s, _ = fused_single(state_s, batch, rng, extra)
+
+    mesh = make_mesh("data:-1", jax.devices()[:8])
+    _m, *_rest2, fused_multi = make_train_steps(opt, mesh=mesh, with_fused=True)
+    state_m = TrainState.create(opt, variables)
+    state_m, g_losses_m, d_losses_m, _ = fused_multi(state_m, batch, rng, extra)
+
+    for k in g_losses_s:
+        np.testing.assert_allclose(
+            float(g_losses_s[k]), float(g_losses_m[k]), rtol=5e-3, atol=5e-4,
+            err_msg=f"G loss {k} diverges between 1-dev and 8-dev fused",
+        )
+    for k in d_losses_s:
+        np.testing.assert_allclose(
+            float(d_losses_s[k]), float(d_losses_m[k]), rtol=5e-3, atol=5e-4,
+            err_msg=f"D loss {k} diverges",
+        )
+    pa = jax.tree_util.tree_leaves(state_s.variables["netG"]["params"])
+    pb = jax.tree_util.tree_leaves(state_m.variables["netG"]["params"])
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(pa, pb))
+    assert worst < 5e-4, f"fused sharded params diverge: max abs {worst}"

@@ -226,6 +226,41 @@ def test_fused_step_matches_sequential():
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_step_unpair_stage_alternation():
+    """--fused_step with --unpairTrain: one fused program is compiled per
+    stage; mutating opt.curr_step must dispatch to the other stage's program
+    (stage-2 losses = hairAvgLab/no VGG training netD2, stage-1 the reverse)
+    — the fused path must not reintroduce the round-1 stale-jit bug."""
+    opt = tiny_opt(unpairTrain=True, curr_step=2, fused_step=True)
+    model, _g, _d, fused_step = make_train_steps(opt, with_fused=True)
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(1, jnp.int32)
+
+    d2_before = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0].copy()
+    state, g2, d2, _ = fused_step(state, batch, rng, extra)
+    assert "hairAvgLab" in g2 and "VGG" not in g2 and "GAN_Feat" not in g2
+    d2_after = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0]
+    assert not np.allclose(np.asarray(d2_before), np.asarray(d2_after))
+
+    opt.curr_step = 1
+    d1_before = jax.tree_util.tree_leaves(
+        state.variables["netD"]["params"])[0].copy()
+    d2_snap = jax.tree_util.tree_leaves(
+        state.variables["netD2"]["params"])[0].copy()
+    state, g1, d1, _ = fused_step(state, batch, rng, extra)
+    assert "VGG" in g1 and "GAN_Feat" in g1 and "hairAvgLab" not in g1
+    d1_after = jax.tree_util.tree_leaves(state.variables["netD"]["params"])[0]
+    d2_still = jax.tree_util.tree_leaves(state.variables["netD2"]["params"])[0]
+    assert not np.allclose(np.asarray(d1_before), np.asarray(d1_after)), (
+        "stage-1 fused step must train netD")
+    np.testing.assert_array_equal(np.asarray(d2_snap), np.asarray(d2_still))
+
+
 def test_reuse_orient_for_d_is_exact():
     """reuse_orient_for_d (default on): handing d_step the G step's
     frozen-IG inpainted orientation must give EXACTLY the recompute losses —
