@@ -171,11 +171,13 @@ def main():
             ladder.append((False, True, "all"))
 
         imgs_per_sec = None
-        last_exc = None
+        used = None
+        ladder_pos = 0
         for i, (f, r, rb) in enumerate(ladder):
             opt = _make_opt(mode, size, batch_size, dtype, f, r, rb)
             try:
                 imgs_per_sec = _run_train(opt, batch_size, size, iters)
+                used, ladder_pos = (f, r, rb), i
                 if i > 0:
                     print(
                         "bench: config of record OOMed on this chip; "
@@ -185,18 +187,28 @@ def main():
             except Exception as e:  # noqa: BLE001 — re-raised unless OOM
                 if not _is_oom(e) or i == len(ladder) - 1:
                     raise
-                last_exc = e
                 print(
                     f"bench: OOM at fused={f} remat={r} blocks={rb}; "
                     "stepping down the fallback ladder", file=sys.stderr)
                 gc.collect()
 
         metric = "%dpx_train_step_throughput_bs%d" % (size, batch_size)
+        f, r, rb = used
         print(json.dumps({
             "metric": metric,
             "value": round(imgs_per_sec, 3),
             "unit": "images/sec/chip",
             "vs_baseline": _vs_baseline(metric, imgs_per_sec),
+            # self-describing run config: a fallback-ladder step-down can
+            # never masquerade as the config of record (ladder_position 0)
+            "config": {
+                "dtype": dtype, "fused_step": f, "remat": r,
+                "remat_blocks": rb, "ladder_position": ladder_pos,
+                "reuse_fake_for_d": opt.reuse_fake_for_d,
+                "reuse_orient_for_d": getattr(opt, "reuse_orient_for_d", True),
+                "use_pallas": opt.use_pallas,
+                "iters": iters,
+            },
         }))
         return
 
@@ -228,6 +240,9 @@ def main():
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": _vs_baseline(metric, imgs_per_sec),
+        "config": {
+            "dtype": dtype, "use_pallas": opt.use_pallas, "iters": iters,
+        },
     }))
 
 

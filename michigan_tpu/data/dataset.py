@@ -276,7 +276,11 @@ class PrefetchLoader:
             stop.set()
             with done_lock:
                 done_lock.notify_all()
-        self.epoch += 1
+            # advance the epoch on ANY exit (full consumption, break, raise,
+            # generator close): a consumer that stops mid-epoch must get a
+            # fresh shuffle and fresh per-sample RNG on re-iteration, like
+            # torch DataLoader's per-iter() reseed — not a replay
+            self.epoch += 1
 
 
 def prefetch_with(put, loader, depth: int = 1):

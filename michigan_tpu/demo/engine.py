@@ -115,16 +115,11 @@ class DemoEngine:
     def _get_infer(self, mode: str):
         if mode not in self._compiled:
             jax = self._jax
-            opt = self.opt
 
-            def fn(variables, batch):
-                old = opt.inpaint_mode
-                opt.inpaint_mode = mode  # static under trace
-                try:
-                    out, orient_rgb = self.model.infer(variables, batch)
-                finally:
-                    opt.inpaint_mode = old
-                return out, orient_rgb
+            def fn(variables, batch, _mode=mode):
+                # the branch choice is a static per-program argument — one
+                # compiled executable per mode, no shared-config mutation
+                return self.model.infer(variables, batch, inpaint_mode=_mode)
 
             self._compiled[mode] = jax.jit(fn)
         return self._compiled[mode]

@@ -513,17 +513,25 @@ class MichiGANModel:
     # inference (pix2pix_model.py:80-120)
     # ------------------------------------------------------------------
 
-    def infer(self, variables, batch, rng=None):
-        """mode='inference': returns (fake or blend, inpainted orient rgb)."""
+    def infer(self, variables, batch, rng=None, inpaint_mode=None):
+        """mode='inference': returns (fake or blend, inpainted orient rgb).
+
+        `inpaint_mode` ('ref'/'stroke') is a static argument selecting the
+        orientation-inpainting branch (pix2pix_model.py:94-120); it defaults
+        to opt.inpaint_mode but callers that compile one program per mode
+        (demo engine) pass it explicitly rather than mutating shared config.
+        """
         opt = self.opt
+        if inpaint_mode is None:
+            inpaint_mode = opt.inpaint_mode
         pre = self.preprocess(batch)
         orient_rgb_out = None
-        if opt.use_ig and "stroke" not in opt.inpaint_mode:
+        if opt.use_ig and "stroke" not in inpaint_mode:
             hair_mask = pre["input_tag"][..., 1:2]
             orient_rgb_out, orient = self.inpaint_orient(
                 variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair_mask
             )
-        elif opt.use_ig and "stroke" in opt.inpaint_mode:
+        elif opt.use_ig and "stroke" in inpaint_mode:
             hair_mask = pre["input_tag"][..., 1:2]
             orient_rgb_out, orient = self.inpaint_stroke_orient(
                 variables, pre["hole"], pre["orient_rgb"], pre["noise"], hair_mask,

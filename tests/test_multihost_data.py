@@ -133,6 +133,29 @@ def test_prefetch_with_slow_consumer_and_early_exit():
     assert closed == [True]
 
 
+def test_loader_epoch_advances_on_early_exit(tiny_dataset):
+    """A consumer that breaks mid-epoch must get a FRESH shuffle and fresh
+    per-sample RNG on re-iteration (torch DataLoader reseeds per iter());
+    regression: epoch only advanced on full consumption, so an early-exit
+    consumer (e.g. a --debug short-circuit) replayed identical batches."""
+    opt = make_opt(tiny_dataset, serial_batches=False, batchSize=2)
+    loader = create_dataloader(opt, shard=(0, 1))
+    assert loader.epoch == 0
+
+    first = next(iter(loader))  # early exit: only one batch consumed
+    assert loader.epoch == 1
+
+    second = next(iter(loader))
+    assert loader.epoch == 2
+    # different epoch seed -> different shuffle: the two partial epochs must
+    # not replay the same leading batch (8 samples, bs2 — a collision of the
+    # full leading batch under a fresh shuffle is astronomically unlikely
+    # AND deterministic here, so no flake)
+    assert any(
+        not np.array_equal(first[k], second[k]) for k in first
+    ), "early-exit re-iteration replayed the identical batch"
+
+
 def test_loader_worker_exception_propagates(tiny_dataset):
     """A get_sample failure inside a PrefetchLoader worker thread must
     re-raise in the consumer, not leave __iter__ waiting forever

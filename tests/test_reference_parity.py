@@ -175,3 +175,211 @@ def test_vae_encoder_parity(rng):
         ref_mu, ref_logvar = ref_net(nchw_t(x))
     np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(logvar), ref_logvar.numpy(), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# cal_orientation.py exact oracle (VERDICT round-2 item 3): the reference
+# extractor is pure CPU torch and runnable here — assert near-bit parity of
+# the 32 DoG responses, argmax/confidence, and the final blurred/encoded map
+# on a real hair crop of sample 67172.
+# ---------------------------------------------------------------------------
+
+def _import_ref_cal_orientation():
+    """Load /root/reference/cal_orientation.py under a non-clashing module
+    name (the repo root has its own cal_orientation.py)."""
+    import importlib.util
+    import sys
+    import types
+
+    try:
+        import matplotlib.pyplot  # noqa: F401  (module-level import in the ref)
+    except Exception:
+        mpl = types.ModuleType("matplotlib")
+        plt = types.ModuleType("matplotlib.pyplot")
+        mpl.pyplot = plt
+        sys.modules.setdefault("matplotlib", mpl)
+        sys.modules.setdefault("matplotlib.pyplot", plt)
+    spec = importlib.util.spec_from_file_location(
+        "ref_cal_orientation", "/root/reference/cal_orientation.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def hair_crop():
+    """A 128x128 crop of 67172 with real hair pixels + its mask, as the
+    reference __main__ would see them (cal_orientation.py:89-99)."""
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open("datasets/FFHQ_single/val_images/67172.jpg").convert("RGB"),
+        np.float32,
+    )  # 0..255
+    mask = np.array(Image.open("datasets/FFHQ_single/val_labels/67172.png"))
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    if mask.max() > 1:
+        mask = (mask > 130) * 1
+    sl = (slice(64, 192), slice(192, 320))
+    img_c, mask_c = img[sl], mask[sl]
+    assert mask_c.sum() > 500, "crop must contain real hair"
+    gray = 0.299 * img_c[..., 0] + 0.587 * img_c[..., 1] + 0.144 * img_c[..., 2]
+    return gray.astype(np.float32), mask_c
+
+
+def test_cal_orientation_filter_responses_oracle(hair_crop):
+    """32 DoG conv responses vs the reference loop (cal_orientation.py:60-68)."""
+    import math
+
+    from michigan_tpu.ops.filters import dog_bank, filter_bank_conv_direct
+
+    ref = _import_ref_cal_orientation()
+    gray, _ = hair_crop
+    gray_t = torch.from_numpy(gray)[None, None]
+    cal = ref.orient()
+    refs = []
+    with torch.no_grad():
+        for i in range(cal.numKernels):
+            theta = torch.ones(1) * (math.pi * i / cal.numKernels)
+            k = ref.DoG_fn(cal.kernel_size, 1, 1, theta).float()
+            refs.append(
+                torch.nn.functional.conv2d(gray_t, k, padding=cal.padding)
+            )
+    ref_resp = to_nhwc(torch.cat(refs, dim=1))[0]
+
+    mine = np.asarray(
+        filter_bank_conv_direct(jnp.asarray(gray[None, ..., None]), dog_bank())
+    )[0]
+    # responses reach ~1e3 on 0..255 gray; 1e-2 abs == ~1e-5 relative
+    np.testing.assert_allclose(mine, ref_resp, rtol=1e-4, atol=1e-2)
+
+
+def test_cal_orientation_argmax_confidence_oracle(hair_crop):
+    """argmax index + confidence vs reference calOrientation
+    (cal_orientation.py:70-80); isolated flips allowed only at numerical
+    ties of the clamped responses."""
+    from michigan_tpu.ops.filters import dense_orientation
+
+    ref = _import_ref_cal_orientation()
+    gray, _ = hair_crop
+    with torch.no_grad():
+        ref_idx, ref_conf = ref.orient().calOrientation(
+            torch.from_numpy(gray)[None, None]
+        )
+    ref_idx = ref_idx.numpy()[0]
+    ref_conf = ref_conf.numpy()[0, 0]
+
+    idx, conf = dense_orientation(
+        jnp.asarray(gray[None, ..., None]), mode="dog"
+    )
+    idx = np.asarray(idx)[0, ..., 0]
+    conf = np.asarray(conf)[0, ..., 0]
+
+    np.testing.assert_allclose(conf, ref_conf, rtol=1e-4, atol=1e-2)
+    flips = idx != ref_idx
+    assert flips.mean() < 0.002, f"{flips.sum()} argmax flips"
+    # every flip must be a genuine near-tie, not a real disagreement:
+    # the confidences of the two chosen filters agree to fp noise
+    if flips.any():
+        np.testing.assert_allclose(
+            conf[flips], ref_conf[flips], rtol=1e-4, atol=1e-2
+        )
+
+
+def test_cal_orientation_end_to_end_oracle(hair_crop):
+    """Final uint8 orientation map vs a faithful execution of the reference
+    __main__ pipeline (cal_orientation.py:96-110) on the same crop."""
+    import math
+
+    import cv2
+
+    from cal_orientation import compute_orientation_map
+
+    ref = _import_ref_cal_orientation()
+    gray, mask = hair_crop
+
+    # reference pipeline, driven through the imported reference module
+    with torch.no_grad():
+        o_t, c_t = ref.orient().calOrientation(torch.from_numpy(gray)[None, None])
+    o_t = o_t * math.pi / 31 * 2
+    m_t = torch.from_numpy(mask).float()
+    fx = (torch.cos(o_t) * c_t * m_t).numpy().squeeze()
+    fy = (torch.sin(o_t) * c_t * m_t).numpy().squeeze()
+    fx = cv2.GaussianBlur(fx, (0, 0), 4)
+    fy = cv2.GaussianBlur(fy, (0, 0), 4)
+    out = np.arctan2(fy, fx) * 0.5
+    out[out < 0] += math.pi
+    ref_map = np.uint8(out * 255.0 / math.pi * mask)
+
+    # my CLI core (takes [0,1] RGB); reconstruct the RGB crop it expects
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open("datasets/FFHQ_single/val_images/67172.jpg").convert("RGB"),
+        np.float32,
+    ) / 255.0
+    my_map = compute_orientation_map(
+        img[64:192, 192:320], mask.astype(np.float64)
+    )
+
+    diff = np.abs(my_map.astype(np.int32) - ref_map.astype(np.int32))
+    # uint8 truncation at the boundary of a bit-identical float pipeline:
+    # allow off-by-one on a small fraction of pixels, nothing larger except
+    # angle wraparound (0 <-> 255 encode the same orientation mod pi)
+    wrap = np.minimum(diff, 256 - diff)
+    assert (wrap > 1).mean() < 0.001, f"max diff {wrap.max()}, frac {(wrap>1).mean()}"
+    assert (wrap > 0).mean() < 0.05
+
+
+@pytest.mark.parametrize("cfg", [
+    {},                  # flagship: partialconv encoder + IG orient + noise bg
+    {"use_ig": False},   # raw orient decode path
+])
+def test_generator_eval_mode_composed_parity(cfg, rng):
+    """EVAL-mode composed forward vs torch — the mode inference actually uses
+    (VERDICT round-2 weak item 3).  Random-init running stats (0,1) would
+    saturate tanh meaninglessly, so the torch net first runs ~25 train-mode
+    forwards to pull its BN running stats toward the operating regime
+    (sync_batchnorm/batchnorm.py:137-145 momentum-0.1 rule); the state_dict
+    (incl. running_mean/var and spectral u/v) is then converted and both
+    frameworks compare in eval mode, where BN normalizes by running stats
+    (batchnorm.py:64-68) and spectral norm stops power-iterating."""
+    opt = base_opt(**cfg)
+    topt = torch_opt(opt)
+    torch.manual_seed(0)
+    ref_net = REF.generator.SPADEBGenerator(topt)
+
+    inputs = make_gen_inputs(opt, rng, n=2)
+    input_ref, input_tag, orient, image_ref, image_tag, noise = inputs
+    targs = dict(
+        input=nchw_t(input_ref), orient_mask=nchw_t(orient),
+        image_ref=nchw_t(image_ref), input_tag=nchw_t(input_tag),
+        noise=nchw_t(noise), image_tag=nchw_t(image_tag),
+    )
+
+    ref_net.train()
+    with torch.no_grad():
+        for _ in range(25):  # running stats ~90% of the way to batch stats
+            ref_net(**targs)
+    ref_net.eval()
+    with torch.no_grad():
+        ref_out = ref_net(**targs)
+    assert np.abs(to_nhwc(ref_out)).max() < 1.0 - 1e-4, (
+        "warmup failed: torch eval output saturated tanh — parity would be "
+        "vacuous"
+    )
+
+    variables = CV.convert_generator(ref_net.state_dict(), opt)
+    gen = M.SPADEBGenerator(opt=opt)
+    out = gen.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        *[jnp.asarray(a) for a in inputs],
+        train=False,
+    )
+    if isinstance(out, tuple):
+        out = out[0]
+    np.testing.assert_allclose(
+        np.asarray(out), to_nhwc(ref_out), rtol=1e-3, atol=2e-3
+    )

@@ -76,6 +76,27 @@ def test_stroke_cond_matches_eager(setup, prefill):
     )
 
 
+def test_infer_inpaint_mode_is_explicit_static_arg(setup):
+    """model.infer selects the ref/stroke inpaint branch from its
+    `inpaint_mode` argument without mutating shared config (regression:
+    DemoEngine._get_infer used to flip opt.inpaint_mode around the trace —
+    thread-unsafe mutation of nominally-static config)."""
+    opt, model, variables, batch, rng = setup
+    assert opt.inpaint_mode == "stroke"
+    batch = dict(batch)
+    batch["orient_rgb_mask"] = jnp.zeros_like(batch["mask_stroke"])
+
+    out_default, rgb_default = model.infer(variables, batch)
+    out_stroke, rgb_stroke = model.infer(variables, batch, inpaint_mode="stroke")
+    out_ref, rgb_ref = model.infer(variables, batch, inpaint_mode="ref")
+    assert opt.inpaint_mode == "stroke"  # config untouched
+
+    # default == explicit opt mode; 'ref' takes the other branch
+    np.testing.assert_array_equal(np.asarray(out_default), np.asarray(out_stroke))
+    np.testing.assert_array_equal(np.asarray(rgb_default), np.asarray(rgb_stroke))
+    assert not np.array_equal(np.asarray(rgb_ref), np.asarray(rgb_stroke))
+
+
 def test_select_tag_image_recon_semantics():
     """Reconstructed-tag selection (reference demo.py:330-333): recon image
     used iff hair pixels were REMOVED by a user mask edit."""
