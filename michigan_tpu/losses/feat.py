@@ -8,10 +8,16 @@ import jax.numpy as jnp
 from michigan_tpu.ops.resize import resize_nearest
 
 
+# D features may arrive at the compute dtype (bf16): upcast inside the
+# reductions (fuses into the reduce) instead of materializing fp32 feature
+# maps at the discriminator exit (model.py discriminate).
+_f32 = lambda t: t.astype(jnp.float32)
+
+
 def _l1_mask(a: jax.Array, b: jax.Array, label: jax.Array) -> jax.Array:
     """Masked L1 normalized by mask area * channels (loss.py:154-161)."""
     label1 = resize_nearest(label, (a.shape[1], a.shape[2]))
-    diff = jnp.abs(a * label1 - b * label1)
+    diff = jnp.abs(_f32(a) * label1 - _f32(b) * label1)
     return diff.sum() / (label1.sum() * a.shape[-1] + 1e-5)
 
 
@@ -26,6 +32,6 @@ def gan_feat_loss(pred_fake, pred_real, opt, label=None) -> jax.Array:
             if opt.remove_background:
                 term = _l1_mask(pred_fake[i][j], real, jax.lax.stop_gradient(label))
             else:
-                term = jnp.mean(jnp.abs(pred_fake[i][j] - real))
+                term = jnp.mean(jnp.abs(_f32(pred_fake[i][j]) - _f32(real)))
             total = total + term * (opt.lambda_feat / num_d)
     return total

@@ -29,6 +29,9 @@ def gan_loss(
 ) -> jax.Array:
     """Single-scale loss (loss.py:80-124).  `label` is the target hair mask
     at full resolution (NHWC single channel)."""
+    # patch logits may arrive at the compute dtype (bf16); the loss math and
+    # its reductions run fp32 (model.py discriminate keeps features uncast)
+    pred = pred.astype(jnp.float32)
     mode = opt.gan_mode
     if mode == "original":
         tgt = jnp.full_like(pred, 1.0 if target_is_real else 0.0)

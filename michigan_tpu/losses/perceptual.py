@@ -13,9 +13,16 @@ from michigan_tpu.ops.stats import masked_mean_std
 VGG_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
+# Features may arrive at the compute dtype (bf16): each loss upcasts INSIDE
+# its reduction (the convert fuses into the reduce — one pass over bf16 data,
+# fp32 accumulation) rather than asking the tower for fp32 tensors, which
+# would double the stored feature maps' HBM traffic (model.py _vgg_tower).
+_f32 = lambda t: t.astype(jnp.float32)
+
+
 def _l1_mask_sum(a, b, label):
     label1 = resize_nearest(label, (a.shape[1], a.shape[2]))
-    return jnp.abs(a * label1 - b * label1).sum() / (
+    return jnp.abs(_f32(a) * label1 - _f32(b) * label1).sum() / (
         label1.sum() * a.shape[-1] + 1e-5
     )
 
@@ -29,14 +36,14 @@ def vgg_loss_from_features(fx, fy, opt, label=None) -> jax.Array:
         if opt.remove_background:
             total = total + w * _l1_mask_sum(a, b, jax.lax.stop_gradient(label))
         else:
-            total = total + w * jnp.mean(jnp.abs(a - b))
+            total = total + w * jnp.mean(jnp.abs(_f32(a) - _f32(b)))
     return total
 
 
 def _mean_std(feat, eps=1e-5):
     """calc_mean_std (loss.py:624-632): torch .var() is unbiased (ddof=1)."""
     n, h, w, c = feat.shape
-    f = feat.reshape(n, -1, c)
+    f = _f32(feat).reshape(n, -1, c)
     mean = f.mean(axis=1).reshape(n, 1, 1, c)
     var = f.var(axis=1, ddof=1) + eps
     return mean, jnp.sqrt(var).reshape(n, 1, 1, c)
@@ -52,7 +59,7 @@ def style_content_loss_from_features(f_fake, f_style, f_content, opt,
     if opt.remove_background:
         cl = jax.lax.stop_gradient(content_label)
         sl = jax.lax.stop_gradient(style_label)
-        a, b = f_fake[-1], f_content[-1]
+        a, b = _f32(f_fake[-1]), _f32(f_content[-1])
         lab = resize_nearest(cl, (a.shape[1], a.shape[2]))
         loss_c = jnp.sum((a * lab - b * lab) ** 2) / (
             jnp.sum(lab) * a.shape[-1] + 1e-5
@@ -66,7 +73,7 @@ def style_content_loss_from_features(f_fake, f_style, f_content, opt,
             loss_s = loss_s + jnp.mean((sm - fm) ** 2) + jnp.mean((ss - fstd) ** 2)
         return loss_c, loss_s
 
-    loss_c = jnp.mean((f_fake[-1] - f_content[-1]) ** 2)
+    loss_c = jnp.mean((_f32(f_fake[-1]) - _f32(f_content[-1])) ** 2)
     loss_s = 0.0
     for fs, ff in zip(f_style, f_fake):
         sm, ss = _mean_std(fs)

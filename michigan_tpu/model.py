@@ -319,8 +319,12 @@ class MichiGANModel:
         out = net.apply(dvars, fake_and_real, train=train)
 
         n = fake_concat.shape[0]
-        pred_fake = [[t[:n].astype(jnp.float32) for t in scale] for scale in out]
-        pred_real = [[t[n:].astype(jnp.float32) for t in scale] for scale in out]
+        # features stay at the compute dtype: casting to fp32 here fuses
+        # into the D convs and doubles their write traffic (same finding as
+        # the VGG tower — model.py _vgg_tower); the GAN/GAN-feat losses
+        # upcast inside their reductions instead
+        pred_fake = [[t[:n] for t in scale] for scale in out]
+        pred_real = [[t[n:] for t in scale] for scale in out]
         return pred_fake, pred_real
 
     # ------------------------------------------------------------------
@@ -381,10 +385,14 @@ class MichiGANModel:
 
         def _vgg_tower(x):
             # the conv tower runs at the compute dtype (bf16 halves its HBM
-            # traffic / doubles MXU rate); features are handed to the losses
-            # as fp32 so every reduction accumulates at full precision
-            feats = self.vgg.apply(variables["vgg"], x.astype(self.compute_dtype))
-            return [t.astype(jnp.float32) for t in feats]
+            # traffic / doubles MXU rate).  Features are handed to the losses
+            # AT the compute dtype: an fp32 cast here fuses into the tower's
+            # last convs and doubles their write traffic (profiled: the
+            # relu1_1 conv emitted fp32[16,512,512,64]).  Every loss upcasts
+            # inside its reductions instead (losses/perceptual.py), so the
+            # accumulation precision is unchanged while the stored/re-read
+            # feature maps stay bf16.
+            return self.vgg.apply(variables["vgg"], x.astype(self.compute_dtype))
 
         vgg_apply = _vgg_tower
         if getattr(opt, "remat", False):

@@ -16,8 +16,11 @@ def masked_mean_std(feat: jax.Array, mask: jax.Array, eps: float = 1e-5):
     contribute (mean*0)^2 = 0 via the second mask — replicated exactly.
     """
     n, h, w, c = feat.shape
-    m = mask.reshape(n, -1, 1)
-    f = feat.reshape(n, -1, c) * m
+    # fp32 statistics regardless of the feature dtype (bf16 VGG features
+    # arrive uncast — see losses/perceptual.py); the convert fuses into the
+    # reductions, so no fp32 copy of the feature map is materialized
+    m = mask.astype(jnp.float32).reshape(n, -1, 1)
+    f = feat.astype(jnp.float32).reshape(n, -1, c) * m
     msum = m.sum(axis=1) + eps  # (N,1)
     mean = f.sum(axis=1) / msum  # (N,C)
     var = (((f - mean[:, None, :]) * m) ** 2).sum(axis=1) / msum + eps

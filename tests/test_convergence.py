@@ -1,0 +1,81 @@
+"""Suite-level training-convergence regression (VERDICT round-2 item 2):
+a small-scale overfit on the bundled sample must move the reconstruction
+metrics by a calibrated margin in a fixed number of steps.  Guards the
+whole G/D optimization loop (loss wiring, TTUR optimizers, spectral norm,
+BN stats, gradient flow) against silent breakage — a GAN framework whose
+losses no longer descend would otherwise only be caught by eyeballing a
+soak run.
+
+Calibrated on the deterministic seed-0 trajectory (fp32, CPU): over 40
+steps lab 8.81 -> 5.99 (-32%), rgb 0.467 -> 0.444, background 0.329 ->
+0.317, PSNR +0.38 dB, hinge D losses 1.95 -> 0.25.  Thresholds sit at
+roughly half the observed movement so real regressions fail while step
+noise passes.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from michigan_tpu.config import Options
+from michigan_tpu.data.single import single_inference_data
+from michigan_tpu.model import MichiGANModel
+from michigan_tpu.training.state import TrainState
+from michigan_tpu.training.train_step import make_train_steps
+
+STEPS = 40
+
+
+def _psnr(fake, tgt):
+    mse = float(np.mean((np.asarray(fake) - np.asarray(tgt)) ** 2))
+    return 10 * np.log10(4.0 / mse)  # [-1,1] images -> peak-to-peak 2
+
+
+def test_small_scale_overfit_converges():
+    opt = Options(
+        isTrain=True, batchSize=2, crop_size=64, load_size=64, ngf=8, ndf=8,
+        netG="spadeb", use_encoder=True, use_ig=True, noise_background=True,
+        random_expand_mask=True, num_upsampling_layers="normal",
+        dtype="float32", donate_buffers=False, seed=0,
+        data_dir="./datasets/FFHQ_single",
+        inference_ref_name="67172", inference_tag_name="67172",
+        inference_orient_name="67172", subset="val",
+    ).finalize()
+    data = single_inference_data(opt)
+    batch = {
+        k: jnp.asarray(np.repeat(v, 2, axis=0))
+        for k, v in data.items()
+        if isinstance(v, np.ndarray) and v.ndim >= 3
+    }
+    model, g_step, d_step = make_train_steps(opt)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init_variables(rng, batch)
+    state = TrainState.create(opt, variables)
+    extra = jnp.asarray(2, jnp.int32)
+
+    first = last = None
+    psnr0 = psnrN = None
+    for i in range(STEPS + 1):
+        srng = jax.random.fold_in(rng, i)
+        state, g_losses, fake, orient = g_step(state, batch, srng, extra)
+        state, d_losses = d_step(state, batch, srng, extra, orient=orient)
+        rec = {
+            **{k: float(v) for k, v in g_losses.items()},
+            **{k: float(v) for k, v in d_losses.items()},
+        }
+        for v in rec.values():
+            assert np.isfinite(v), f"non-finite loss at step {i}: {rec}"
+        if i == 0:
+            first, psnr0 = rec, _psnr(fake, batch["image_tag"])
+        last, psnrN = rec, _psnr(fake, batch["image_tag"])
+
+    # reconstruction must descend (thresholds ~half the calibrated movement)
+    assert last["lab"] < 0.84 * first["lab"], (first["lab"], last["lab"])
+    assert last["rgb"] < 0.99 * first["rgb"], (first["rgb"], last["rgb"])
+    assert last["background"] < 0.99 * first["background"]
+    assert psnrN > psnr0 + 0.15, (psnr0, psnrN)
+    # the discriminator must actually be learning: total hinge loss shrinks
+    d0 = first["D_Fake"] + first["D_real"]
+    dN = last["D_Fake"] + last["D_real"]
+    assert dN < 0.6 * d0, (d0, dN)

@@ -270,3 +270,102 @@ def test_instance_edges(rng):
     edge[:, :, 1:, :] |= t[:, :, 1:, :] != t[:, :, :-1, :]
     edge[:, :, :-1, :] |= t[:, :, 1:, :] != t[:, :, :-1, :]
     np.testing.assert_allclose(ours, nhwc(edge.float()), atol=0)
+
+
+def test_bf16_norm_custom_vjp_matches_autodiff(rng):
+    """The bf16 custom-VJP norms (HBM-traffic lever: bf16 residuals and
+    cotangents, fp32 reductions) must match plain autodiff of the fp32
+    formulation to bf16 precision, keep running stats identical to the fp32
+    path, and produce identical gradients sharded (psum) vs unsharded."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from michigan_tpu.ops import norms
+
+    x = (rng.standard_normal((2, 16, 16, 8)) * 3 + 1).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal(x.shape), jnp.bfloat16)
+
+    def in_ref(t):
+        xf = t.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(t.dtype)
+
+    def bn_ref(t):
+        mean, var_b, _ = norms.batch_stats(t.astype(jnp.float32))
+        inv = jax.lax.rsqrt(var_b + 1e-5)
+        return (t - mean.astype(t.dtype)) * inv.astype(t.dtype)
+
+    g_in = jax.grad(lambda t: jnp.sum(norms.instance_norm(t) * w).astype(jnp.float32))(xb)
+    g_in_ref = jax.grad(lambda t: jnp.sum(in_ref(t) * w).astype(jnp.float32))(xb)
+    np.testing.assert_allclose(
+        np.float32(g_in), np.float32(g_in_ref), atol=3e-2
+    )
+
+    g_bn = jax.grad(
+        lambda t: jnp.sum(norms.batch_norm_train(t, jnp.zeros(8), jnp.ones(8))[0] * w).astype(jnp.float32)
+    )(xb)
+    g_bn_ref = jax.grad(lambda t: jnp.sum(bn_ref(t) * w).astype(jnp.float32))(xb)
+    np.testing.assert_allclose(
+        np.float32(g_bn), np.float32(g_bn_ref), atol=3e-2
+    )
+
+    # running stats: bit-identical to the fp32 path (fp32 accumulation)
+    _, m_b, v_b = norms.batch_norm_train(xb, jnp.zeros(8), jnp.ones(8))
+    _, m_f, v_f = norms.batch_norm_train(
+        jnp.asarray(np.float32(np.asarray(xb))), jnp.zeros(8), jnp.ones(8)
+    )
+    np.testing.assert_array_equal(np.float32(m_b), np.float32(m_f))
+    np.testing.assert_array_equal(np.float32(v_b), np.float32(v_f))
+
+    # sharded (psum over 8 virtual devices) == unsharded, gradients included
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    xs = jnp.asarray(rng.standard_normal((8, 8, 8, 4)), jnp.bfloat16)
+    ws = jnp.asarray(rng.standard_normal(xs.shape), jnp.bfloat16)
+
+    def sharded_loss(t):
+        def f(tt, ww):
+            y, _, _ = norms.batch_norm_train(
+                tt, jnp.zeros(4), jnp.ones(4), axis_name="data"
+            )
+            return jax.lax.psum(jnp.sum((y * ww).astype(jnp.float32)), "data")
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )(t, ws)
+
+    def global_loss(t):
+        y, _, _ = norms.batch_norm_train(t, jnp.zeros(4), jnp.ones(4))
+        return jnp.sum((y * ws).astype(jnp.float32))
+
+    np.testing.assert_array_equal(
+        np.float32(jax.grad(sharded_loss)(xs)),
+        np.float32(jax.grad(global_loss)(xs)),
+    )
+
+
+def test_separable_max_pool_exact(rng):
+    """Large stride-1 max pools run as two separable 1-D passes on TPU (a
+    53 ms profiled hotspot in the train step — ops/resize.py); the
+    decomposition must be exactly the 2-D window for every kernel size and
+    the torch output-size crop must be unchanged."""
+    from michigan_tpu.ops.resize import max_pool_same
+
+    for k in (2, 5, 7, 30, 47):
+        for shape in ((2, 33, 41, 1), (1, 64, 64, 3)):
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            p = int(k / 2)
+            ref = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max,
+                (1, k, k, 1), (1, 1, 1, 1),
+                ((0, 0), (p, p), (p, p), (0, 0)),
+            )
+            oh = (shape[1] + 2 * p - k) + 1
+            ow = (shape[2] + 2 * p - k) + 1
+            got = max_pool_same(x, k, 1)
+            assert got.shape == ref[:, :oh, :ow, :].shape
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref[:, :oh, :ow, :])
+            )
