@@ -61,6 +61,9 @@ def _make_opt(mode, size, batch_size, dtype, fused, remat, remat_blocks):
         # BENCH_PALLAS=0/1 gives the use_pallas A/B on identical config
         # (default matches the config default: off — PERF.md policy)
         use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+        # BENCH_PALLAS_EPI=0/1: fused conv+IN+act epilogue kernel A/B for
+        # the IG resblock stack (ops/pallas/epilogue.py)
+        use_pallas_epilogue=os.environ.get("BENCH_PALLAS_EPI", "0") == "1",
         # BENCH_REUSE_FAKE=1: D trains on the G step's fake (config docs)
         reuse_fake_for_d=os.environ.get("BENCH_REUSE_FAKE", "0") == "1",
         fused_step=fused,
@@ -207,6 +210,7 @@ def main():
                 "reuse_fake_for_d": opt.reuse_fake_for_d,
                 "reuse_orient_for_d": getattr(opt, "reuse_orient_for_d", True),
                 "use_pallas": opt.use_pallas,
+                "use_pallas_epilogue": opt.use_pallas_epilogue,
                 "iters": iters,
             },
         }))

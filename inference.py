@@ -96,7 +96,9 @@ def main(argv=None):
     }
 
     rng = jax.random.PRNGKey(opt.seed)
-    variables = model.init_variables(rng, batch)
+    # jitted init: eager init is hundreds of tiny dispatches, pathological
+    # through a remote-TPU relay (see bench.py)
+    variables = jax.jit(model.init_variables)(rng, batch)
 
     restored = CK.load_variables(opt, opt.which_epoch)
     if restored is not None:

@@ -128,6 +128,9 @@ class Options:
     print_freq: int = 100
     save_latest_freq: int = 5000
     save_epoch_freq: int = 1
+    # images-cadence for the on-device diagnostics stream (param norms,
+    # spectral sigma, BN running-stat extremes -> scalars.jsonl); 0 = off
+    stats_freq: int = 0
     no_html: bool = False
     debug: bool = False
     tf_log: bool = False
@@ -229,6 +232,10 @@ class Options:
                                          # at every flagship shape (PERF.md
                                          # A/B: 49-58 vs 89 img/s), so off by
                                          # default; kernels stay tested
+    use_pallas_epilogue: bool = False    # fused conv+IN+act Pallas kernel for
+                                         # the IG/SIG resblock stack
+                                         # (ops/pallas/epilogue.py); A/B'd
+                                         # end-to-end via bench.py (PERF.md)
     donate_buffers: bool = True
     remat: bool = False                  # jax.checkpoint SPADE blocks
     # which blocks to remat ("all" or comma list, e.g. "up_1,up_2,up_3" —

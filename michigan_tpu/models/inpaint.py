@@ -43,9 +43,27 @@ class DilatedResnetBlock(nn.Module):
 
     dim: int
     use_pallas: bool = False
+    use_pallas_epilogue: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.use_pallas_epilogue:
+            # whole block as two fused conv+IN(+act/+residual) kernels —
+            # the conv is computed inside the Pallas program, so the block
+            # writes each intermediate to HBM exactly once (epilogue.py)
+            from michigan_tpu.ops.pallas.epilogue import conv3x3_in_act
+
+            k1, b1 = TorchConv(
+                self.dim, 3, padding=0, dilation=2, spectral=True,
+                name="conv1", return_kernel=True,
+            )(x, train)
+            y = conv3x3_in_act(reflect_pad(x, 2), k1, b1, dilation=2, act="relu")
+            k2, b2 = TorchConv(
+                self.dim, 3, padding=0, spectral=True,
+                name="conv2", return_kernel=True,
+            )(y, train)
+            return conv3x3_in_act(reflect_pad(y, 1), k2, b2, residual=x)
+
         y = reflect_pad(x, 2)
         y = TorchConv(self.dim, 3, padding=0, dilation=2, spectral=True, name="conv1")(
             y, train
@@ -96,8 +114,12 @@ class _InpaintBase(nn.Module):
         y = _in_act(y, "lrelu", pallas)
 
         # middle: 12 dilated resblocks + self-attention (generator.py:526-530)
+        epilogue = getattr(self.opt, "use_pallas_epilogue", False)
         for i in range(self.blocks):
-            y = DilatedResnetBlock(256, use_pallas=pallas, name=f"middle_{i}")(y, train)
+            y = DilatedResnetBlock(
+                256, use_pallas=pallas, use_pallas_epilogue=epilogue,
+                name=f"middle_{i}",
+            )(y, train)
         y = SelfAttention(256, name=f"middle_{self.blocks}")(y, train)
 
         # decoder (generator.py:548-557)

@@ -126,6 +126,10 @@ class TorchConv(nn.Module):
     weight_norm: Optional[str] = None  # None | "torch" | "fixed"
     dilation: int = 1
     gain: float = 0.02
+    # return the (normalized kernel, bias) instead of running the conv —
+    # feeds fused Pallas epilogue kernels (ops/pallas/epilogue.py) while
+    # keeping param/variable names checkpoint-identical
+    return_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -176,6 +180,14 @@ class TorchConv(nn.Module):
             # checkpoint already contains the normalized weight, and training
             # treats it as a plain parameter after that (normalization.py:137)
             pass
+
+        if self.return_kernel:
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else jnp.zeros((self.features,), jnp.float32)
+            )
+            return kernel, bias
 
         p = self.padding
         y = _conv(

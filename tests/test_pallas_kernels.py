@@ -98,3 +98,59 @@ def test_spade_module_pallas_parity(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
         ), cfg
+
+
+def test_conv_in_act_epilogue(rng):
+    """Fused conv3x3+IN+act(+residual) kernel vs the exact XLA composition."""
+    from michigan_tpu.ops.pallas.epilogue import conv3x3_in_act, _xla_reference
+
+    for d, act, with_res in [(2, "relu", False), (1, None, True),
+                             (1, "lrelu", False)]:
+        x = rng.standard_normal((2, 16 + 2 * d, 16 + 2 * d, 128)).astype(np.float32)
+        w = (rng.standard_normal((3, 3, 128, 128)) * 0.05).astype(np.float32)
+        b = rng.standard_normal(128).astype(np.float32)
+        res = (
+            rng.standard_normal((2, 16, 16, 128)).astype(np.float32)
+            if with_res else None
+        )
+        args = [jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)]
+        resj = jnp.asarray(res) if res is not None else None
+        ours = np.asarray(conv3x3_in_act(
+            *args, dilation=d, act=act, residual=resj))
+        ref = np.asarray(_xla_reference(*args, d, act, 1e-5, resj))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_in_act_epilogue_fallback(rng):
+    """Misaligned channels take the XLA fallback and still match."""
+    from michigan_tpu.ops.pallas.epilogue import conv3x3_in_act, _xla_reference
+
+    x = rng.standard_normal((1, 10, 10, 20)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 20, 20)) * 0.05).astype(np.float32)
+    b = rng.standard_normal(20).astype(np.float32)
+    ours = np.asarray(conv3x3_in_act(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), dilation=1, act="relu"))
+    ref = np.asarray(_xla_reference(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1, "relu", 1e-5, None))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ig_epilogue_path_matches(rng):
+    """IG forward with --use_pallas_epilogue == plain forward (interpret)."""
+    import jax
+
+    from michigan_tpu.config import Options
+    from michigan_tpu.models.inpaint import InpaintGenerator
+
+    opt = Options(crop_size=64, load_size=64).finalize()
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    plain = InpaintGenerator(opt, blocks=2)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    ref = plain.apply(variables, x)
+
+    opt_epi = Options(crop_size=64, load_size=64,
+                      use_pallas_epilogue=True).finalize()
+    fused = InpaintGenerator(opt_epi, blocks=2)
+    ours = fused.apply(variables, x)  # identical param tree by construction
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -283,3 +283,19 @@ def test_reuse_orient_for_d_is_exact():
         np.testing.assert_array_equal(
             np.asarray(losses_reuse[k]), np.asarray(losses_recompute[k])
         )
+
+
+def test_diagnostics_stream():
+    """make_diag_fn returns finite param norms, spectral sigmas, BN stats."""
+    from michigan_tpu.training.diagnostics import make_diag_fn
+
+    opt = tiny_opt()
+    state, _, _ = run_one_gd(opt)
+    diag = make_diag_fn()(state.variables)
+    for want in ("pnorm_netG", "pnorm_netD", "sn_sigma_mean_netD",
+                 "sn_sigma_max_netD", "bn_mean_absmax_netG", "bn_var_max_netG"):
+        assert want in diag, f"missing diagnostic {want}: {sorted(diag)}"
+    for k, v in diag.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(diag["pnorm_netG"]) > 0
+    assert float(diag["sn_sigma_max_netD"]) >= float(diag["sn_sigma_mean_netD"])

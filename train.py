@@ -135,6 +135,12 @@ def main(argv=None):
     iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
     visualizer = Visualizer(opt)
 
+    diag_fn = None
+    if opt.stats_freq > 0:
+        from michigan_tpu.training.diagnostics import make_diag_fn
+
+        diag_fn = make_diag_fn()
+
     # ---- initialize or resume ----
     rng = jax.random.PRNGKey(opt.seed)
     assert len(dataloader) > 0, (
@@ -142,7 +148,9 @@ def main(argv=None):
     )
     first_batch = next(iter(dataloader))
     batch0 = device_batch(first_batch)
-    variables = model.init_variables(rng, batch0)
+    # jit the init: eager init is hundreds of tiny dispatches, pathological
+    # through the remote-TPU relay (same reason bench.py jits it)
+    variables = jax.jit(model.init_variables)(rng, batch0)
     if opt.unpairTrain and opt.same_netD_model and "netD2" in variables:
         # initialize netD2 from netD (reference --same_netD_model,
         # train_options.py:40 / util.load_network D2 logic)
@@ -209,6 +217,15 @@ def main(argv=None):
                 visualizer.print_current_errors(
                     epoch, iter_counter.epoch_iter, losses,
                     iter_counter.time_per_iter,
+                )
+                visualizer.plot_current_errors(
+                    losses, iter_counter.total_steps_so_far
+                )
+            if diag_fn is not None and iter_counter._trigger(opt.stats_freq):
+                stats = {k: np.asarray(v)
+                         for k, v in diag_fn(state.variables).items()}
+                visualizer.plot_current_errors(
+                    stats, iter_counter.total_steps_so_far
                 )
             if iter_counter.needs_displaying() and fake is not None:
                 visuals = {
