@@ -28,9 +28,18 @@ def _sigma_leaves(spectral: Dict, params: Dict, out: list, path: str = ""):
     if "u" in spectral and "v" in spectral and isinstance(params, dict):
         kernel = params.get("kernel")
         if kernel is not None:
-            u, v = spectral["u"], spectral["v"]
+            from michigan_tpu.ops.norms import l2_normalize
+
+            u = spectral["u"]
             w_mat = jnp.transpose(kernel.astype(jnp.float32), (3, 2, 0, 1))
             w_mat = w_mat.reshape(u.shape[0], -1)
+            # one read-only power iteration: the stored (u, v) lag one
+            # optimizer step behind W (they were iterated against the
+            # pre-update weight), so raw u.Wv can even go negative; a
+            # fresh iteration gives the true sigma>=0 estimate without
+            # touching the persisted state
+            v = l2_normalize(w_mat.T @ u)
+            u = l2_normalize(w_mat @ v)
             out.append((path, jnp.vdot(u, w_mat @ v)))
         return
     for k, sub in spectral.items():
