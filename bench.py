@@ -32,18 +32,23 @@ import time
 import numpy as np
 
 
-def _build_batch(jnp, batch_size, size):
+def _build_batch(jnp, batch_size, size, compact=False):
+    """compact=True mirrors train.py's device representation under the bf16
+    policy: bf16 image-like tensors, u8 0/1 masks, fp32 orient label — the
+    step upcasts inside the program (train_step.py _f32)."""
     rng_np = np.random.default_rng(0)
     s, n = size, batch_size
+    img = jnp.bfloat16 if compact else jnp.float32
+    msk = jnp.uint8 if compact else jnp.float32
     return {
-        "label_ref": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
-        "label_tag": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
-        "image_ref": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
-        "image_tag": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), jnp.float32),
+        "label_ref": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), msk),
+        "label_tag": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), msk),
+        "image_ref": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), img),
+        "image_tag": jnp.asarray(rng_np.uniform(-1, 1, (n, s, s, 3)), img),
         "orient": jnp.asarray(rng_np.uniform(0, 255, (n, s, s, 1)), jnp.float32),
-        "hole": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), jnp.float32),
-        "orient_rgb": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), jnp.float32),
-        "noise": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), jnp.float32),
+        "hole": jnp.asarray(rng_np.integers(0, 2, (n, s, s, 1)), msk),
+        "orient_rgb": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), img),
+        "noise": jnp.asarray(rng_np.uniform(0, 1, (n, s, s, 3)), img),
     }
 
 
@@ -80,11 +85,14 @@ def _run_train(opt, batch_size, size, iters):
     from michigan_tpu.training.train_step import make_train_steps
 
     model = MichiGANModel(opt)
-    batch = _build_batch(jnp, batch_size, size)
+    batch = _build_batch(jnp, batch_size, size,
+                         compact=(opt.dtype == "bfloat16"))
     key = jax.random.PRNGKey(0)
     # jit the init too: eager init is hundreds of tiny dispatches, which is
     # pathological through the remote-TPU relay
-    variables = jax.jit(model.init_variables)(key, batch)
+    variables = jax.jit(model.init_variables)(
+        key, {k: v.astype(jnp.float32) for k, v in batch.items()}
+    )
 
     steps = make_train_steps(opt, with_fused=opt.fused_step)
     g_step, d_step = steps[1], steps[2]
@@ -245,7 +253,8 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": _vs_baseline(metric, imgs_per_sec),
         "config": {
-            "dtype": dtype, "use_pallas": opt.use_pallas, "iters": iters,
+            "dtype": dtype, "use_pallas": opt.use_pallas,
+            "use_pallas_epilogue": opt.use_pallas_epilogue, "iters": iters,
         },
     }))
 

@@ -236,6 +236,9 @@ class Options:
                                          # the IG/SIG resblock stack
                                          # (ops/pallas/epilogue.py); A/B'd
                                          # end-to-end via bench.py (PERF.md)
+    orient_bank_fp32: bool = False       # force the orientation-loss filter
+                                         # bank's fp32-HIGHEST forward even
+                                         # under --dtype bfloat16
     donate_buffers: bool = True
     remat: bool = False                  # jax.checkpoint SPADE blocks
     # which blocks to remat ("all" or comma list, e.g. "up_1,up_2,up_3" —

@@ -25,8 +25,16 @@ def orient_loss(fake_image, orient_label, input_tag_onehot, opt):
     """
     hair_mask = input_tag_onehot[..., 1:2]
     mode = "gabor" if "gabor" in opt.orient_filter else "dog"
+    # under the bf16 policy the fake image is already bf16-rounded, so the
+    # bank's fp32-HIGHEST forward (3-pass MXU emulation) buys nothing the
+    # input still has; --orient_bank_fp32 restores it (ops/filters.py)
+    fwd_bf16 = (
+        getattr(opt, "dtype", "float32") == "bfloat16"
+        and not getattr(opt, "orient_bank_fp32", False)
+    )
     orientation_fake, confidence = cal_orientation_two_channel(
-        fake_image, mode, hair_mask if mode == "dog" else None
+        fake_image, mode, hair_mask if mode == "dog" else None,
+        fwd_bf16=fwd_bf16,
     )
 
     if not opt.use_ig:

@@ -126,6 +126,24 @@ class MichiGANModel:
                 keys[7], getattr(opt, "checkpoints_dir", "./checkpoints"),
                 context="training",
             )
+        return self.compact_frozen_variables(out)
+
+    def compact_frozen_variables(self, variables):
+        """Under the bf16 compute policy, store the FROZEN towers' weights
+        in bf16: IG/SIG/VGG never train (stop_gradient + outside every
+        optimizer tree) and their convs already run bf16, so fp32 storage
+        only doubles their HBM weight-read traffic (3 VGG towers/step) and
+        wastes ~55 MB.  fp32 compute keeps fp32 storage byte-identical."""
+        if self.compute_dtype != jnp.bfloat16:
+            return variables
+        out = dict(variables)
+        for name in ("vgg", "netIG", "netSIG"):
+            if name in out:
+                out[name] = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a,
+                    out[name],
+                )
         return out
 
     # ------------------------------------------------------------------

@@ -204,20 +204,32 @@ def _filter_bank_conv_s2d_impl(
     return _s2d_conv_apply(gray, w_np, pad_lo, pad_hi, block, precision)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def _fb_s2d_core(gray, mode, padding, block, kernel_size, num):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _fb_s2d_core(gray, mode, padding, block, kernel_size, num, fwd_bf16=False):
+    if fwd_bf16:
+        # bf16 inputs/filters, fp32 MXU accumulation, fp32 result.  Under
+        # the --dtype bfloat16 policy the fake image feeding the bank is
+        # already bf16-rounded, so this only lowers the conv input rounding
+        # to the same grid; HIGHEST's 3-pass fp32 emulation (~3x the MXU
+        # work) is what it buys back.  Near-tie argmax flips land on
+        # adjacent orientations with near-equal loss.
+        w_np, pad_lo, pad_hi = _s2d_bank_np(mode, kernel_size, num, block)
+        return _s2d_conv_apply(
+            gray.astype(jnp.bfloat16), w_np, pad_lo, pad_hi, block,
+            jax.lax.Precision.DEFAULT, compute_dtype=jnp.bfloat16,
+        ).astype(jnp.float32)
     return _filter_bank_conv_s2d_impl(
         gray, mode, padding, block, kernel_size, num,
         jax.lax.Precision.HIGHEST,
     )
 
 
-def _fb_s2d_fwd(gray, mode, padding, block, kernel_size, num):
-    out = _fb_s2d_core(gray, mode, padding, block, kernel_size, num)
+def _fb_s2d_fwd(gray, mode, padding, block, kernel_size, num, fwd_bf16=False):
+    out = _fb_s2d_core(gray, mode, padding, block, kernel_size, num, fwd_bf16)
     return out, None
 
 
-def _fb_s2d_bwd(mode, padding, block, kernel_size, num, _res, g):
+def _fb_s2d_bwd(mode, padding, block, kernel_size, num, fwd_bf16, _res, g):
     # the conv's input-VJP is itself a 'same'-pad correlation — with the
     # spatially-flipped, io-swapped bank — so run it as a forward s2d conv
     # rather than XLA's conv-transpose lowering (measured faster).  The
@@ -241,19 +253,23 @@ _fb_s2d_core.defvjp(_fb_s2d_fwd, _fb_s2d_bwd)
 def filter_bank_conv_s2d(
     gray: jax.Array, mode: str, padding: int = 8, block: int = 8,
     kernel_size: int = KERNEL_SIZE, num: int = NUM_KERNELS,
+    fwd_bf16: bool = False,
 ) -> jax.Array:
     """MXU-friendly filter-bank conv via space-to-depth (exact same math).
 
     Only valid for 'same' padding (padding == kernel_size//2); arbitrary
     H,W handled by zero pad + crop (identical to 'same' zero padding).
 
-    Forward runs fp32-HIGHEST (per-pixel argmax over near-tie orientation
-    responses needs it); the backward — a linear transpose — runs in bf16
-    (fp32 MXU accumulation), which only perturbs the loss gradient, not
-    the selected orientations.
+    Forward runs fp32-HIGHEST by default (per-pixel argmax over near-tie
+    orientation responses; the exact-parity path for cal_orientation);
+    `fwd_bf16=True` — used by the training loss under the bf16 policy —
+    drops the input rounding to bf16 with fp32 MXU accumulation.  The
+    backward — a linear transpose — always runs in bf16, which only
+    perturbs the loss gradient, not the selected orientations.
     """
     return _fb_s2d_core(
-        gray.astype(jnp.float32), mode, padding, block, kernel_size, num
+        gray.astype(jnp.float32), mode, padding, block, kernel_size, num,
+        fwd_bf16,
     )
 
 
@@ -266,17 +282,19 @@ def _use_s2d() -> bool:
 
 def filter_bank_conv(
     gray: jax.Array, bank: jnp.ndarray, padding: int = 8,
-    mode: str | None = None,
+    mode: str | None = None, fwd_bf16: bool = False,
 ) -> jax.Array:
     if _use_s2d() and mode is not None and padding == bank.shape[0] // 2:
         return filter_bank_conv_s2d(
             gray, mode, padding,
             kernel_size=bank.shape[0], num=bank.shape[3],
+            fwd_bf16=fwd_bf16,
         )
     return filter_bank_conv_direct(gray, bank, padding)
 
 
-def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8):
+def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8,
+                         fwd_bf16: bool = False):
     """Per-pixel (argmax index, raw max response) over the oriented bank.
 
     Equivalent to the loop + clamp + argmax in loss.py:293-311 — responses
@@ -284,7 +302,7 @@ def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8)
     torch.argmax on CPU.
     """
     bank = gabor_bank() if mode == "gabor" else dog_bank()
-    res = filter_bank_conv(gray, bank, padding, mode=mode)
+    res = filter_bank_conv(gray, bank, padding, mode=mode, fwd_bf16=fwd_bf16)
     res = jnp.maximum(res, 0.0)
     idx = jnp.argmax(res, axis=-1)
     raw_conf = jnp.max(res, axis=-1)
@@ -292,7 +310,8 @@ def orientation_response(gray: jax.Array, mode: str = "gabor", padding: int = 8)
 
 
 def cal_orientation_two_channel(
-    image_pm1: jax.Array, mode: str = "gabor", hair_mask: jax.Array | None = None
+    image_pm1: jax.Array, mode: str = "gabor", hair_mask: jax.Array | None = None,
+    fwd_bf16: bool = False,
 ):
     """(sin 2theta, cos 2theta) * confidence + confidence map, NHWC.
 
@@ -301,7 +320,7 @@ def cal_orientation_two_channel(
     max response only, matching torch.
     """
     gray = rgb_to_gray255(image_pm1)
-    idx, raw_conf = orientation_response(gray, mode)
+    idx, raw_conf = orientation_response(gray, mode, fwd_bf16=fwd_bf16)
     theta = idx.astype(jnp.float32) * (math.pi / NUM_KERNELS)
     if mode == "gabor":
         conf = (jnp.tanh(raw_conf) + 1.0) / 2.0

@@ -49,34 +49,41 @@ def _xla_reference(x_pad, w, b, dilation, act, eps, residual):
 
 
 def _kernel(x_ref, w_ref, b_ref, *rest, H, W, d, act, eps):
-    """One batch item: conv as 9 shifted MXU matmuls -> IN -> act (+res).
+    """One (batch, Co-block) cell: conv as 9 shifted MXU matmuls -> IN ->
+    act (+res).  Instance-norm statistics are per-channel over HW, so the
+    output-channel tiling is exact; the x block is revisited (fetched once)
+    across consecutive Co steps.
 
     Argument order is (inputs..., outputs...): with a residual there are
     four input refs, so `rest` is either (out_ref,) or (res_ref, out_ref).
     """
     res_ref = rest[:-1]
     out_ref = rest[-1]
-    co = out_ref.shape[3]
+    cob = out_ref.shape[3]
     x = x_ref[0]  # (Hp, Wp, C) VMEM-resident
-    acc = jnp.zeros((H * W, co), jnp.float32)
+    # contract C in-place on the (H, W, C) layout — no (HW, C) reshape,
+    # whose sublane<->lane relayout materializes per-tap copies on the
+    # Mosaic stack and blows the scoped-VMEM limit
+    acc = jnp.zeros((H, W, cob), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             sl = x[dy * d:dy * d + H, dx * d:dx * d + W, :]
-            acc = acc + jnp.dot(
-                sl.reshape(H * W, x.shape[2]), w_ref[dy, dx],
+            acc = acc + jax.lax.dot_general(
+                sl, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
-    mean = jnp.sum(acc, axis=0, keepdims=True) / (H * W)
-    var = jnp.sum((acc - mean) ** 2, axis=0, keepdims=True) / (H * W)
+    acc = acc + b_ref[0].astype(jnp.float32)[None, None, :]
+    mean = jnp.sum(acc, axis=(0, 1), keepdims=True) / (H * W)
+    var = jnp.sum((acc - mean) ** 2, axis=(0, 1), keepdims=True) / (H * W)
     y = (acc - mean) * jax.lax.rsqrt(var + eps)
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     elif act == "lrelu":
         y = jnp.where(y > 0, y, 0.2 * y)
     if res_ref:
-        y = y + res_ref[0][0].reshape(H * W, co).astype(jnp.float32)
-    out_ref[0] = y.reshape(H, W, co).astype(out_ref.dtype)
+        y = y + res_ref[0][0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def conv3x3_in_act(
@@ -100,20 +107,29 @@ def conv3x3_in_act(
     d = dilation
     H, W = hp - 2 * d, wp - 2 * d
     co = w.shape[3]
+    cob = min(co, 128)
 
-    resident = (H * W * max(c, co) * 4 + H * W * co * 4) <= 10 * 1024 * 1024
+    # per-cell VMEM: x block + fp32 accumulator + out/res/w blocks, with
+    # pipeline double-buffering headroom — budget well under the 16M limit
+    resident = (
+        hp * wp * c * 2 + H * W * cob * 4 + 2 * H * W * cob * 2
+        + 9 * c * cob * 2
+    ) <= 8 * 1024 * 1024
     aligned = c % 128 == 0 and co % 128 == 0
-    if not (resident and aligned) or (_interpret() and n > MAX_INTERPRET_GRID_STEPS):
+    if not (resident and aligned) or (
+        _interpret() and n * (co // cob) > MAX_INTERPRET_GRID_STEPS
+    ):
         return _xla_reference(x_pad, w, b, dilation, act, eps, residual)
 
     wk = w.astype(x_pad.dtype)
     bk = b.reshape(1, co).astype(jnp.float32)
-    x_spec = pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+    x_spec = pl.BlockSpec((1, hp, wp, c), lambda i, j: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((3, 3, c, co), lambda i: (0, 0, 0, 0),
+    w_spec = pl.BlockSpec((3, 3, c, cob), lambda i, j: (0, 0, 0, j),
                           memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, H, W, co), lambda i: (i, 0, 0, 0),
+    b_spec = pl.BlockSpec((1, cob), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, H, W, cob), lambda i, j: (i, 0, 0, j),
                           memory_space=pltpu.VMEM)
     operands = [x_pad, wk, bk]
     in_specs = [x_spec, w_spec, b_spec]
@@ -123,8 +139,14 @@ def conv3x3_in_act(
     return pl.pallas_call(
         functools.partial(_kernel, H=H, W=W, d=d, act=act, eps=eps),
         out_shape=jax.ShapeDtypeStruct((n, H, W, co), x_pad.dtype),
-        grid=(n,),
+        grid=(n, co // cob),
         in_specs=in_specs,
         out_specs=o_spec,
+        # double-buffered blocks + the fp32 accumulator and its elementwise
+        # temps overflow Mosaic's default 16M scoped budget; v5e has the
+        # physical VMEM to run this resident
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(*operands)

@@ -11,6 +11,7 @@ identically on every shard.  Buffers are donated so params update in place.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
@@ -72,8 +73,16 @@ def make_train_steps(opt, mesh=None, ab_count=None, with_fused=False):
     opt_g_tx, opt_d_tx = make_optimizers(opt)
     g_names = g_net_names(opt)
 
+    def _f32(batch):
+        """Upcast a compact device batch (bf16 images / u8 masks — the
+        train.py compact-transfer representation) INSIDE the program: the
+        casts fuse into consumers, so only the ~half-size compact batch
+        persists in HBM between steps.  fp32 batches pass through as-is."""
+        return {k: v.astype(jnp.float32) for k, v in batch.items()}
+
     def make_g_step_local(curr_step):
         def g_step_local(state: TrainState, batch, rng, extra_dilate):
+            batch = _f32(batch)
             if axis is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
@@ -108,6 +117,7 @@ def make_train_steps(opt, mesh=None, ab_count=None, with_fused=False):
         d_name = "netD2" if (opt.unpairTrain and curr_step == 2) else "netD"
 
         def body(state: TrainState, batch, rng, extra_dilate, fake, orient):
+            batch = _f32(batch)
             if axis is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 

@@ -369,3 +369,31 @@ def test_separable_max_pool_exact(rng):
             np.testing.assert_array_equal(
                 np.asarray(got), np.asarray(ref[:, :oh, :ow, :])
             )
+
+
+def test_filterbank_bf16_forward_close(rng):
+    """The bf16-forward bank (training-loss path under --dtype bfloat16)
+    stays close to fp32-HIGHEST in the quantities the loss consumes: the
+    (sin,cos)*conf field and the tanh-squashed confidence.  Raw responses
+    have positive/negative lobe cancellation, so element-level relative
+    error is not the right gate; white noise is the worst case for argmax
+    ties (real images tie far less)."""
+    import jax.numpy as jnp
+
+    from michigan_tpu.ops.filters import (
+        cal_orientation_two_channel,
+        orientation_response,
+    )
+
+    gray = (rng.standard_normal((1, 64, 64, 1)) * 40 + 128).astype(np.float32)
+    idx32, _ = orientation_response(jnp.asarray(gray), "gabor")
+    idx16, _ = orientation_response(jnp.asarray(gray), "gabor", fwd_bf16=True)
+    mismatch = (np.asarray(idx16) != np.asarray(idx32)).mean()
+    assert mismatch < 0.08, mismatch
+
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    t32, c32 = cal_orientation_two_channel(img, "gabor")
+    t16, c16 = cal_orientation_two_channel(img, "gabor", fwd_bf16=True)
+    rel = float(jnp.mean(jnp.abs(t32 - t16))) / float(jnp.mean(jnp.abs(t32)))
+    assert rel < 0.03, rel
+    assert float(jnp.mean(jnp.abs(c32 - c16))) < 1e-4

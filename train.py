@@ -94,16 +94,20 @@ def main(argv=None):
         return v
 
     def device_batch(data):
-        """Host-local numpy -> global device array sharded over the mesh."""
+        """Host-local numpy -> global device array sharded over the mesh.
+
+        Compact dtypes stay compact ON DEVICE — the train step upcasts
+        inside the program (train_step.py _f32), so only the half-size
+        batch persists in HBM between steps."""
         if batch_sharding is None:
             return {
-                k: jnp.asarray(_compact(k, np.asarray(v))).astype(jnp.float32)
+                k: jnp.asarray(_compact(k, np.asarray(v)))
                 for k, v in data.items()
             }
         return {
             k: jax.make_array_from_process_local_data(
                 batch_sharding, _compact(k, np.asarray(v))
-            ).astype(jnp.float32)
+            )
             for k, v in data.items()
         }
 
@@ -160,7 +164,11 @@ def main(argv=None):
     if opt.continue_train:
         restored = CK.restore_train_state(opt, opt.which_epoch, state)
         if restored is not None:
-            state = restored
+            # re-apply the frozen-tower storage policy: a checkpoint saved
+            # under fp32 restores fp32 leaves into the bf16 template
+            state = restored.replace(
+                variables=model.compact_frozen_variables(restored.variables)
+            )
             print(f"resumed checkpoint '{opt.which_epoch}'")
     del variables
 
