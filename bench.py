@@ -14,7 +14,7 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 against a self-recorded prior value in BENCH_BASELINE.json when present,
 else null.
 
-The training config of record (fused one-program G+D, up_3-only remat) sits
+The training config of record (fused one-program G+D, no remat) sits
 ~300 MB under the 16 GB HBM line; the relay chip is shared, so a transient
 squeeze can OOM it.  Rather than record a failed run, the bench steps down a
 fallback ladder (more remat -> sequential G/D) and reports whichever config
@@ -139,7 +139,7 @@ def main():
     # default = the BASELINE.md primary target: bs8 512^2 training
     # throughput in the recommended config (bf16 — validated against fp32
     # by scripts/bf16_quality.py — fused one-program G+D step with
-    # up_3-only remat, reference step semantics: D recomputes the fake).
+    # no remat, reference step semantics: D recomputes the fake).
     # BENCH_MODE=infer gives the round-1 headline (bs32 512^2 inference).
     mode = os.environ.get("BENCH_MODE", "train")
     size = int(os.environ.get("BENCH_SIZE", "512"))
@@ -159,21 +159,24 @@ def main():
 
     if mode == "train":
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G); bf16
-        # fits and runs faster without it — EXCEPT the fused one-program
-        # step, whose G+D live ranges coexist: it needs just the largest
-        # block (up_3) rematerialized to fit, and still beats the
-        # sequential pair (13.63 vs 12.53 img/s — PERF.md)
+        # fits and runs faster without it.  The fused one-program step's
+        # coexisting G+D live ranges needed up_3 remat to fit in round 2;
+        # after round 3's compact device batches + bf16 frozen towers the
+        # fused step fits with NO remat and runs 16.03 img/s (vs 15.85
+        # remat-up_2, 15.55 remat-up_3 — PERF.md)
         remat = os.environ.get(
-            "BENCH_REMAT", "1" if (dtype == "float32" or fused) else "0") == "1"
-        # BENCH_REMAT_BLOCKS: selective remat (default for the fused step:
-        # "up_3" — the minimum that fits; measured faster than up_2)
+            "BENCH_REMAT", "1" if dtype == "float32" else "0") == "1"
+        # BENCH_REMAT_BLOCKS: selective remat for non-default memory points
+        # (ladder below steps through up_2 -> up_2,up_3 -> all on OOM)
         remat_blocks = os.environ.get(
-            "BENCH_REMAT_BLOCKS", "up_3" if fused else "all")
+            "BENCH_REMAT_BLOCKS", "up_2" if fused else "all")
 
         # fallback ladder: requested config first, then progressively more
         # rematerialization, then the sequential two-program step
         ladder = [(fused, remat, remat_blocks)]
         if fused:
+            if not remat:
+                ladder.append((True, True, remat_blocks))
             if remat_blocks != "all":
                 ladder.append((True, True, "up_2,up_3"))
                 ladder.append((True, True, "all"))

@@ -65,7 +65,9 @@ def main():
         "orient_rgb": jnp.asarray(rng_np.uniform(0, 1, (1, s, s, 3)), jnp.float32),
         "noise": jnp.asarray(rng_np.uniform(0, 1, (1, s, s, 3)), jnp.float32),
     }
-    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    # jit the init: eager init is hundreds of tiny dispatches (minutes on
+    # the single CPU core); only shapes/dtypes matter here
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0), batch)
 
     g_bytes = sum(
         tree_bytes(variables[n]["params"]) for n in g_net_names(opt)
