@@ -56,7 +56,8 @@ def main():
         from michigan_tpu.training.train_step import make_train_steps
 
         bs, size = 8, 512
-        opt = _make_opt("train", size, bs, "bfloat16", True, True, "up_3")
+        # the round-3 config of record: fused one-program step, no remat
+        opt = _make_opt("train", size, bs, "bfloat16", True, False, "up_2")
         model = MichiGANModel(opt)
         batch = _build_batch(jnp, bs, size)
         key = jax.random.PRNGKey(0)
