@@ -23,15 +23,25 @@ _CITYSCAPES_35 = np.array(
     dtype=np.uint8,
 )
 
-# COCO-stuff (N=182) perceptual overrides (util/util.py:320-328 via
-# util/coco.py id2label): index = coco label id - 1
-_COCO_IMPORTANT = {
-    105: (170, 170, 170),  # clouds
-    123: (29, 195, 49),    # grass
-    154: (54, 62, 167),    # sea
-    156: (95, 219, 255),   # sky-other
-    168: (140, 104, 47),   # tree
+# COCO-stuff (N=182) perceptual overrides (util/util.py:320-328): palette
+# row i is overridden when id2label(i) names one of these categories.
+_IMPORTANT_COLORS = {
+    "sea": (54, 62, 167),
+    "sky-other": (95, 219, 255),
+    "tree": (140, 104, 47),
+    "clouds": (170, 170, 170),
+    "grass": (29, 195, 49),
 }
+
+
+def _coco_overrides() -> dict:
+    from michigan_tpu.utils.coco import id2label
+
+    return {
+        i: _IMPORTANT_COLORS[id2label(i)]
+        for i in range(182)
+        if id2label(i) in _IMPORTANT_COLORS
+    }
 
 
 def _bitget(byteval: int, idx: int) -> int:
@@ -53,7 +63,7 @@ def labelcolormap(n: int) -> np.ndarray:
             c = c >> 3
         cmap[i] = (r, g, b)
     if n == 182:  # COCO-stuff overrides (util/util.py:320-328)
-        for i, color in _COCO_IMPORTANT.items():
+        for i, color in _coco_overrides().items():
             cmap[i] = color
     return cmap
 

@@ -129,3 +129,18 @@ def test_labelcolormap_matches_reference():
     assert (cs[:5] == 0).all()           # five leading unlabeled entries
     assert tuple(cs[5]) == (111, 74, 0)  # then the Cityscapes palette
     assert tuple(cs[34]) == (0, 0, 142)
+
+
+def test_coco_id2label_matches_reference():
+    """Full-vocabulary oracle vs reference util/coco.py (the table the
+    182-class palette overrides key off)."""
+    from tests.reference_oracle import import_reference
+
+    import_reference()
+    from util import coco as ref_coco
+
+    from michigan_tpu.utils.coco import COCO_STUFF_NAMES, id2label
+
+    assert len(COCO_STUFF_NAMES) == 183
+    for raw in list(range(183)) + [300, -1 + 183]:
+        assert id2label(raw) == ref_coco.id2label(raw), raw
