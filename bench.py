@@ -28,6 +28,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -223,6 +224,8 @@ def main():
                 "use_pallas": opt.use_pallas,
                 "use_pallas_epilogue": opt.use_pallas_epilogue,
                 "iters": iters,
+                "compiler_options":
+                    os.environ.get("MICHIGAN_COMPILER_OPTIONS") or None,
             },
         }))
         return
@@ -233,7 +236,9 @@ def main():
     key = jax.random.PRNGKey(0)
     variables = jax.jit(model.init_variables)(key, batch)
 
-    @jax.jit
+    from michigan_tpu.utils.xla_options import compiler_options
+
+    @partial(jax.jit, compiler_options=compiler_options())
     def infer_sum(variables, batch):
         out, _ = model.infer(variables, batch)
         # reduce on device; fetching the scalar below forces completion —
@@ -258,6 +263,8 @@ def main():
         "config": {
             "dtype": dtype, "use_pallas": opt.use_pallas,
             "use_pallas_epilogue": opt.use_pallas_epilogue, "iters": iters,
+            "compiler_options":
+                os.environ.get("MICHIGAN_COMPILER_OPTIONS") or None,
         },
     }))
 

@@ -18,6 +18,7 @@ from jax.experimental.shard_map import shard_map
 
 from michigan_tpu.model import MichiGANModel
 from michigan_tpu.parallel.mesh import DATA_AXIS
+from michigan_tpu.utils.xla_options import compiler_options
 from michigan_tpu.training.state import (
     TrainState,
     g_net_names,
@@ -180,7 +181,8 @@ def make_train_steps(opt, mesh=None, ab_count=None, with_fused=False):
                 out_specs=out_specs,
                 check_rep=False,
             )
-        return jax.jit(fn, donate_argnums=donate)
+        return jax.jit(fn, donate_argnums=donate,
+                       compiler_options=compiler_options())
 
     stages = (1, 2) if opt.unpairTrain else (1,)
     g_steps = {
