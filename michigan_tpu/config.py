@@ -256,6 +256,14 @@ class Options:
     # D step reuses the G step's frozen-IG inpainted orientation — bit-exact
     # (pure function of frozen weights + batch), skips one IG forward/step
     reuse_orient_for_d: bool = True
+    # cross-chip gradient all-reduce in bfloat16: halves the dominant
+    # per-step collective (the 404 MB G-grad pmean, PERF.md multi-chip
+    # section) at the cost of bf16 rounding in the reduction; optimizer
+    # state and the update itself stay fp32.  Off by default — a lever
+    # for real multi-chip slices where the all-reduce reaches the
+    # critical path, validated on the virtual mesh
+    # (tests/test_data_parallel.py::test_bf16_grad_allreduce)
+    bf16_grad_allreduce: bool = False
     # compile the G update + D update as ONE program (semantics identical
     # to the sequential pair — D recomputes with post-update G): one
     # dispatch/step, G optimizer update overlaps the D pass.  Used when

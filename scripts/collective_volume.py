@@ -103,6 +103,11 @@ def main():
     step_allreduce_s = ring(g_bytes) + ring(d_bytes) + ring(
         bn_fwd_bytes + bn_bwd_bytes
     )
+    # --bf16_grad_allreduce (train_step._grad_pmean): grad trees reduced in
+    # bf16 — half the wire bytes; BN stats stay fp32
+    step_allreduce_bf16_s = ring(g_bytes // 2) + ring(d_bytes // 2) + ring(
+        bn_fwd_bytes + bn_bwd_bytes
+    )
     # measured single-chip step time at the config of record (PERF.md);
     # STEP_IMG_S overrides as the bench number moves
     measured_step_s = 8 / float(os.environ.get("STEP_IMG_S", "15.42"))
@@ -114,9 +119,13 @@ def main():
         "bn_psum_bytes_per_step_fwd": bn_fwd_bytes,
         "bn_psum_bytes_per_step_bwd": bn_bwd_bytes,
         "ring_allreduce_s_8chip_v5e": round(step_allreduce_s, 5),
+        "ring_allreduce_s_8chip_v5e_bf16_grads": round(step_allreduce_bf16_s, 5),
         "measured_step_s_1chip": round(measured_step_s, 4),
         "expected_scaling_efficiency_8chip": round(
             measured_step_s / (measured_step_s + step_allreduce_s), 4
+        ),
+        "expected_scaling_efficiency_8chip_bf16_grads": round(
+            measured_step_s / (measured_step_s + step_allreduce_bf16_s), 4
         ),
     }
     print(json.dumps(out, indent=1))

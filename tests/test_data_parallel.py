@@ -127,3 +127,47 @@ def test_fused_step_sharded_matches_single_device():
     pb = jax.tree_util.tree_leaves(state_m.variables["netG"]["params"])
     worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(pa, pb))
     assert worst < 5e-4, f"fused sharded params diverge: max abs {worst}"
+
+
+def test_bf16_grad_allreduce_close_to_fp32():
+    """--bf16_grad_allreduce halves the wire volume of the G/D grad pmean
+    (the multi-chip lever from PERF.md).  The bf16 reduction must stay a
+    *numerical* variant, not a semantic one: one sharded step with the flag
+    must land within bf16 rounding of the fp32-reduction step."""
+    assert jax.device_count() >= 8
+    opt = tiny_opt()
+    batch = tiny_batch(opt)
+    rng = jax.random.PRNGKey(0)
+    extra = jnp.asarray(1, jnp.int32)
+    mesh = make_mesh("data:-1", jax.devices()[:8])
+
+    model, g32, d32 = make_train_steps(opt, mesh=mesh)
+    variables = model.init_variables(rng, batch)
+    s32 = TrainState.create(opt, variables)
+    s32, gl32, _, _ = g32(s32, batch, rng, extra)
+    s32, dl32 = d32(s32, batch, rng, extra)
+
+    opt_bf = tiny_opt()
+    opt_bf.bf16_grad_allreduce = True
+    _m, g16, d16 = make_train_steps(opt_bf, mesh=mesh)
+    s16 = TrainState.create(opt_bf, variables)
+    s16, gl16, _, _ = g16(s16, batch, rng, extra)
+    s16, dl16 = d16(s16, batch, rng, extra)
+
+    for k in gl32:
+        a, b = float(gl32[k]), float(gl16[k])
+        assert np.isfinite(b), f"G loss {k} not finite under bf16 all-reduce"
+        # losses are computed BEFORE the update and pmean'd in fp32 either
+        # way — they must match to shard-reduction noise
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4, err_msg=k)
+    for k in dl32:
+        assert np.isfinite(float(dl16[k])), f"D loss {k} not finite"
+
+    # updated params: Adam normalizes by grad magnitude, so bf16 rounding of
+    # the reduced grads perturbs the update by O(2^-8) relative — bounded,
+    # not exact
+    pa = jax.tree_util.tree_leaves(s32.variables["netG"]["params"])
+    pb = jax.tree_util.tree_leaves(s16.variables["netG"]["params"])
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(pa, pb))
+    assert worst < 5e-3, f"bf16 all-reduce params diverge: max abs {worst}"
+    assert worst > 0.0, "bf16 all-reduce produced bit-identical params; flag inert?"
