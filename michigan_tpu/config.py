@@ -60,6 +60,12 @@ class Options:
     load_from_opt_file: bool = False
     cache_filelist_write: bool = False
     cache_filelist_read: bool = False
+    # bounded RAM cache of DECODED source images (MB; 0 disables).  JPEG/PNG
+    # decode dominates per-sample host time on low-core hosts (PERF.md
+    # input-pipeline section); with the cache sized to the working set,
+    # epochs after the first skip decode entirely and the loader becomes
+    # transform-bound.  ~1 MB per 568² RGB image
+    decode_cache_mb: int = 0
     color_jitter: bool = False
     orient_random_disturb: bool = False
     hair_random_disturb: bool = False

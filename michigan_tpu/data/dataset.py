@@ -53,6 +53,53 @@ def list_images(
     return out
 
 
+class _DecodeCache:
+    """Bounded RAM cache of decoded source images (FIFO eviction by bytes).
+
+    On low-core hosts JPEG/PNG decode dominates per-sample time (PERF.md
+    soak section: 2.3 s/step wall vs 0.52 s/step device on this
+    container's single core).  Caching the *decoded* image makes every
+    epoch after the first transform-bound.  Stores fully-loaded PIL
+    images and hands out copies, so concurrent loader workers never share
+    a mutable pixel buffer."""
+
+    def __init__(self, cap_bytes: int):
+        from collections import OrderedDict
+
+        self.cap = cap_bytes
+        self.used = 0
+        self.lock = threading.Lock()
+        self.images: "OrderedDict[str, Image.Image]" = OrderedDict()
+
+    @staticmethod
+    def _nbytes(img: Image.Image) -> int:
+        return len(img.getbands()) * img.width * img.height
+
+    def get_or_put(self, key: str, produce) -> Image.Image:
+        """Return a copy of the cached image for `key`, producing (and
+        caching, within the byte cap) on a miss.  `produce` runs outside
+        the lock — concurrent misses on the same key may both decode, but
+        only one result is kept."""
+        with self.lock:
+            img = self.images.get(key)
+            if img is not None:
+                return img.copy()
+        img = produce()
+        img.load()
+        nb = self._nbytes(img)
+        with self.lock:
+            if key not in self.images and nb <= self.cap:
+                while self.used + nb > self.cap and self.images:
+                    _, old = self.images.popitem(last=False)
+                    self.used -= self._nbytes(old)
+                self.images[key] = img
+                self.used += nb
+            return img.copy()
+
+    def open(self, path: str) -> Image.Image:
+        return self.get_or_put(path, lambda: Image.open(path))
+
+
 class CustomDataset:
     """FFHQ directory layout (custom_dataset.py:43-70):
     {data_dir}/{clear}{phase}_labels|_images|_dense_orients."""
@@ -60,6 +107,9 @@ class CustomDataset:
     def __init__(self, opt, step: int = 1):
         self.opt = opt
         self.step = step
+        cache_mb = getattr(opt, "decode_cache_mb", 0)
+        self._cache = _DecodeCache(cache_mb << 20) if cache_mb > 0 else None
+        self._open = self._cache.open if self._cache else Image.open
         phase = "train" if opt.isTrain else opt.subset
         clear = "clear_" if opt.clear else ""
         base = opt.data_dir
@@ -104,38 +154,46 @@ class CustomDataset:
         the live branch is implemented.
         """
         opt = self.opt
-        label = Image.open(self.label_paths[index])
+        label = self._open(self.label_paths[index])
         params = get_params(opt, label.size, rng)
         tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
         label_t = tl(label) * 255.0
         label_t[label_t == 255] = opt.label_nc
 
         index_ref = index if self.step == 1 else rng.randint(0, len(self) - 1)
-        label_ref = Image.open(self.label_paths[index_ref])
+        label_ref = self._open(self.label_paths[index_ref])
         label_ref_t = tl(label_ref) * 255.0
         label_ref_t[label_ref_t == 255] = opt.label_nc
 
         ti = get_transform(opt, params)
-        image_t = ti(Image.open(self.image_paths[index]).convert("RGB"))
+        image_t = ti(self._open(self.image_paths[index]).convert("RGB"))
         ti_ref = (
             get_transform(opt, params, color=True) if opt.color_jitter else ti
         )
-        image_ref_t = ti_ref(Image.open(self.image_paths[index_ref]).convert("RGB"))
+        image_ref_t = ti_ref(self._open(self.image_paths[index_ref]).convert("RGB"))
 
-        orient = Image.open(self.orient_paths[index])
+        orient = self._open(self.orient_paths[index])
         orient_t = tl(orient) * 255.0
 
         # rgb orient from the sample's own orient + label (live branch,
         # pix2pix_dataset.py:131-134)
         if opt.use_ig and not opt.no_orientation:
-            rgb = trans_orient_to_rgb(np.array(orient), np.array(label))
+            # pure function of the sample's raw orient+label (transforms
+            # apply after) — cache the encoded image alongside the decodes
+            make_rgb = lambda: trans_orient_to_rgb(
+                np.array(orient), np.array(label)
+            )
+            rgb = (
+                self._cache.get_or_put(f"__orient_rgb__:{index}", make_rgb)
+                if self._cache is not None else make_rgb()
+            )
             orient_rgb_t = tl(rgb) * label_t
         else:
             orient_rgb_t = np.zeros_like(image_t)
 
         if opt.use_ig:
             idx_o = rng.randint(0, len(self) - 1)
-            orient_mask = np.array(Image.open(self.label_paths[idx_o]))
+            orient_mask = np.array(self._open(self.label_paths[idx_o]))
             hole = generate_hole(np.array(label), orient_mask, rng)
             hole_t = tl(hole) * 255.0
         else:

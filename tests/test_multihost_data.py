@@ -179,3 +179,44 @@ def test_dataset_mismatch_fails_at_construction(tiny_dataset):
     opt = make_opt(tiny_dataset)
     with pytest.raises(ValueError, match="cal_orientation"):
         create_dataloader(opt)
+
+
+def test_decode_cache_samples_identical_and_bounded(tiny_dataset):
+    """--decode_cache_mb caches DECODED images in RAM (dataset._DecodeCache).
+    Samples must be bit-identical with and without the cache (same seed ⇒
+    same transforms), hits must serve fresh pixel-buffer copies, and the
+    byte cap must be enforced by FIFO eviction."""
+    from michigan_tpu.data.dataset import CustomDataset, _DecodeCache
+
+    import random as pyrandom
+    # use_ig=True also exercises the cached orient-RGB encoding + hole path
+    for use_ig in (False, True):
+        ds_plain = CustomDataset(make_opt(tiny_dataset, use_ig=use_ig))
+        ds_cache = CustomDataset(
+            make_opt(tiny_dataset, use_ig=use_ig, decode_cache_mb=64))
+        for idx in range(4):
+            a = ds_plain.get_sample(idx, pyrandom.Random(idx))
+            # twice: the second read is a cache hit and must still match
+            ds_cache.get_sample(idx, pyrandom.Random(idx))
+            b = ds_cache.get_sample(idx, pyrandom.Random(idx))
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(
+                    a[k], b[k], err_msg=f"{k} idx={idx} use_ig={use_ig}")
+
+    # copies, not the cached object: mutating a served image must not
+    # poison later hits
+    cache = _DecodeCache(1 << 20)
+    path = os.path.join(tiny_dataset, "train_images", "00000.jpg")
+    first = cache.open(path)
+    first.paste((255, 0, 0), (0, 0, first.width, first.height))
+    again = np.array(cache.open(path))
+    assert not np.all(again[..., 0] == 255), "cache served a shared buffer"
+
+    # eviction: cap of ~1.5 images worth of bytes holds one 32x32 RGB image
+    one_img = 3 * 32 * 32
+    small = _DecodeCache(int(one_img * 1.5))
+    for i in range(4):
+        small.open(os.path.join(tiny_dataset, "train_images", f"{i:05d}.jpg"))
+    assert small.used <= small.cap, f"cache over cap: {small.used} > {small.cap}"
+    assert len(small.images) == 1
