@@ -280,6 +280,14 @@ class Options:
     # in compact dtypes (see train.py device_batch)
     device_prefetch: int = 1
     compact_transfer: bool = True
+    # generate the background noise pyramid ON DEVICE inside the transfer
+    # path (jax.random, ops/noise.py generate_noise_jax) instead of on the
+    # host per sample — the pyramid is the loader's hottest op on few-core
+    # hosts (PERF.md input-pipeline section) and 1.5 MB/sample of H2D.
+    # Statistically equivalent, not bit-equal, to the host numpy/cv2 path
+    # (reference base_dataset.py:387-396), same class of documented
+    # divergence as the native generator; off by default for parity
+    device_noise: bool = False
 
     # ---- derived (finalize) ----
     semantic_nc: int = 2

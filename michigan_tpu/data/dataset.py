@@ -199,11 +199,7 @@ class CustomDataset:
         else:
             hole_t = np.zeros_like(label_t)
 
-        noise = generate_noise_fast(
-            opt.crop_size, opt.crop_size, rng.getrandbits(32)
-        ).astype(np.float32)
-
-        return {
+        out = {
             "label_tag": label_t.astype(np.float32),
             "label_ref": label_ref_t.astype(np.float32),
             "image_tag": image_t.astype(np.float32),
@@ -211,8 +207,16 @@ class CustomDataset:
             "orient": orient_t.astype(np.float32),
             "hole": hole_t.astype(np.float32),
             "orient_rgb": orient_rgb_t.astype(np.float32),
-            "noise": noise,
         }
+        # --device_noise moves the pyramid into the jitted transfer path
+        # (train.py device_batch) — the loader then ships no noise at all.
+        # getrandbits is this sample's LAST rng draw, so skipping it leaves
+        # every other random decision identical to the host-noise stream.
+        if not getattr(opt, "device_noise", False):
+            out["noise"] = generate_noise_fast(
+                opt.crop_size, opt.crop_size, rng.getrandbits(32)
+            ).astype(np.float32)
+        return out
 
 
 class PrefetchLoader:

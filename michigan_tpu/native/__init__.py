@@ -23,14 +23,17 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
+            "-o", _SO, _SRC]
+    # -lmvec lets gcc vectorize the gauss_fill transcendental loops through
+    # glibc's SIMD libm; fall back to a plain link where libmvec is absent
+    for extra in (["-lmvec", "-lm"], []):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -30,18 +30,39 @@ inline double uniform01(uint64_t bits) {
 }
 
 // Fill `n` deterministic N(mu, sigma) samples; one Box-Muller pair yields
-// two outputs (sin + cos), halving the transcendental count.
+// two outputs (sin + cos), halving the transcendental count.  Structured
+// as flat array passes over a block so the compiler can vectorize the
+// transcendental loops through libmvec (-ffast-math): the counter-based
+// RNG pass, the sqrt(-2 log u) pass, and the sincos pass each become one
+// SIMD loop instead of an interleaved scalar chain.
 inline void gauss_fill(float* dst, size_t n, uint64_t seed, float mu,
                        float sigma) {
-  for (size_t i = 0; i < n; i += 2) {
-    const uint64_t a = splitmix64(seed ^ i);
-    const uint64_t b = splitmix64(seed ^ (i + 1) ^ 0xA5A5A5A5A5A5A5A5ULL);
-    const float u1 = static_cast<float>(uniform01(a));
-    const float u2 = static_cast<float>(uniform01(b));
-    const float r = std::sqrt(-2.0f * std::log(u1));
-    const float t = 6.2831853f * u2;
-    dst[i] = mu + sigma * r * std::cos(t);
-    if (i + 1 < n) dst[i + 1] = mu + sigma * r * std::sin(t);
+  constexpr size_t kPairs = 2048;  // per-block Box-Muller pairs (~32 KB)
+  alignas(64) float u1[kPairs], u2[kPairs], cs[kPairs], sn[kPairs];
+  size_t base = 0;  // output index of the block start (always even)
+  while (base < n) {
+    const size_t m = n - base < 2 * kPairs ? n - base : 2 * kPairs;
+    const size_t pairs = (m + 1) / 2;
+    for (size_t i = 0; i < pairs; ++i) {
+      const uint64_t a = splitmix64(seed ^ (base + 2 * i));
+      const uint64_t b =
+          splitmix64(seed ^ (base + 2 * i + 1) ^ 0xA5A5A5A5A5A5A5A5ULL);
+      u1[i] = static_cast<float>(uniform01(a));
+      u2[i] = static_cast<float>(uniform01(b));
+    }
+    for (size_t i = 0; i < pairs; ++i) {
+      u1[i] = std::sqrt(-2.0f * std::log(u1[i]));  // radius
+    }
+    // two separate loops: a single loop gets fused into scalar sincosf,
+    // which glibc has no SIMD variant for — split, each vectorizes
+    for (size_t i = 0; i < pairs; ++i) cs[i] = std::cos(6.2831853f * u2[i]);
+    for (size_t i = 0; i < pairs; ++i) sn[i] = std::sin(6.2831853f * u2[i]);
+    float* out = dst + base;
+    for (size_t i = 0; i < pairs; ++i) {
+      out[2 * i] = mu + sigma * u1[i] * cs[i];
+      if (2 * i + 1 < m) out[2 * i + 1] = mu + sigma * u1[i] * sn[i];
+    }
+    base += m;
   }
 }
 
@@ -72,8 +93,11 @@ inline float bilinear_at(const float* src, int sh, int sw, int c, int ch,
 
 extern "C" {
 
-// dst (dh,dw,c) <- bilinear(src (sh,sw,c)), half-pixel mapping.  The x-axis
-// interpolation tables are hoisted out of the row loop.
+// dst (dh,dw,c) <- bilinear(src (sh,sw,c)), half-pixel mapping.  Bilinear
+// is exactly separable: a horizontal pass into a (sh,dw,c) intermediate,
+// then a vertical blend of two intermediate rows.  For the pyramid's
+// upsampling shapes this roughly halves the arithmetic, and the vertical
+// pass is a contiguous two-row lerp the compiler fully vectorizes.
 void bilinear_resize_f32(const float* src, int sh, int sw, int c, float* dst,
                          int dh, int dw) {
   const float sy = static_cast<float>(sh) / dh;
@@ -87,24 +111,30 @@ void bilinear_resize_f32(const float* src, int sh, int sw, int c, float* dst,
     x0s[x] = x0 < 0 ? 0 : (x0 > sw - 1 ? sw - 1 : x0);
     x1s[x] = x0 + 1 < 0 ? 0 : (x0 + 1 > sw - 1 ? sw - 1 : x0 + 1);
   }
+  const int64_t row = static_cast<int64_t>(dw) * c;
+  std::vector<float> tmp(static_cast<int64_t>(sh) * row);
+  for (int y = 0; y < sh; ++y) {
+    const float* srow = src + static_cast<int64_t>(y) * sw * c;
+    float* trow = tmp.data() + static_cast<int64_t>(y) * row;
+    for (int x = 0; x < dw; ++x) {
+      const int xa = x0s[x] * c, xb = x1s[x] * c;
+      const float wx = fxs[x];
+      for (int ch = 0; ch < c; ++ch) {
+        trow[x * c + ch] = srow[xa + ch] * (1 - wx) + srow[xb + ch] * wx;
+      }
+    }
+  }
   for (int y = 0; y < dh; ++y) {
     const float fy0 = (y + 0.5f) * sy - 0.5f;
     int y0 = static_cast<int>(std::floor(fy0));
     const float wy = fy0 - y0;
     const int y1 = (y0 + 1 < 0) ? 0 : (y0 + 1 > sh - 1 ? sh - 1 : y0 + 1);
     y0 = y0 < 0 ? 0 : (y0 > sh - 1 ? sh - 1 : y0);
-    const float* r0 = src + static_cast<int64_t>(y0) * sw * c;
-    const float* r1 = src + static_cast<int64_t>(y1) * sw * c;
-    float* drow = dst + static_cast<int64_t>(y) * dw * c;
-    for (int x = 0; x < dw; ++x) {
-      const int xa = x0s[x] * c, xb = x1s[x] * c;
-      const float wx = fxs[x];
-      const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
-      const float w10 = wy * (1 - wx), w11 = wy * wx;
-      for (int ch = 0; ch < c; ++ch) {
-        drow[x * c + ch] = r0[xa + ch] * w00 + r0[xb + ch] * w01 +
-                           r1[xa + ch] * w10 + r1[xb + ch] * w11;
-      }
+    const float* r0 = tmp.data() + static_cast<int64_t>(y0) * row;
+    const float* r1 = tmp.data() + static_cast<int64_t>(y1) * row;
+    float* drow = dst + static_cast<int64_t>(y) * row;
+    for (int64_t i = 0; i < row; ++i) {
+      drow[i] = r0[i] * (1 - wy) + r1[i] * wy;
     }
   }
 }

@@ -93,6 +93,29 @@ def main(argv=None):
             return v.astype(ml_dtypes.bfloat16)
         return v
 
+    # --device_noise: the loader ships no noise; one jitted program draws
+    # the whole batch's pyramid on device (sharded over the mesh like the
+    # rest of the batch).  The pyramid costs the TPU microseconds; on the
+    # host it is the single hottest per-sample op (PERF.md).
+    noise_batch_fn = None
+    if opt.device_noise:
+        from michigan_tpu.ops.noise import generate_noise_jax
+
+        _s = opt.crop_size
+        _ndt = jnp.bfloat16 if compact_transfer else jnp.float32
+
+        def _noise_batch(key):
+            keys = jax.random.split(key, opt.batchSize)
+            out = jax.vmap(lambda k: generate_noise_jax(k, _s, _s))(keys)
+            return out.astype(_ndt)
+
+        noise_batch_fn = (
+            jax.jit(_noise_batch, out_shardings=batch_sharding)
+            if batch_sharding is not None else jax.jit(_noise_batch)
+        )
+        _noise_key = jax.random.PRNGKey(opt.seed ^ 0x6E015E)
+        _noise_ctr = [0]  # bumped per batch; single producer (feeder thread)
+
     def device_batch(data):
         """Host-local numpy -> global device array sharded over the mesh.
 
@@ -100,16 +123,23 @@ def main(argv=None):
         inside the program (train_step.py _f32), so only the half-size
         batch persists in HBM between steps."""
         if batch_sharding is None:
-            return {
+            out = {
                 k: jnp.asarray(_compact(k, np.asarray(v)))
                 for k, v in data.items()
             }
-        return {
-            k: jax.make_array_from_process_local_data(
-                batch_sharding, _compact(k, np.asarray(v))
+        else:
+            out = {
+                k: jax.make_array_from_process_local_data(
+                    batch_sharding, _compact(k, np.asarray(v))
+                )
+                for k, v in data.items()
+            }
+        if noise_batch_fn is not None:
+            out["noise"] = noise_batch_fn(
+                jax.random.fold_in(_noise_key, _noise_ctr[0])
             )
-            for k, v in data.items()
-        }
+            _noise_ctr[0] += 1
+        return out
 
     def prefetch_to_device(loader):
         """Yield (host_data, device_batch) with the NEXT batch's transfer
