@@ -149,5 +149,18 @@ def load_vgg19_variables(rng, checkpoints_dir: str = "./checkpoints",
         "checkpoints/vgg19.npz`.",
         stacklevel=2,
     )
-    variables = VGG19().init(rng, jnp.zeros((1, 64, 64, 3)))
+    # Feature-preserving fallback init.  The process-default init type is the
+    # GAN nets' gain-0.02 xavier (config.py --init_type), which collapses a
+    # 16-conv ReLU tower's activations to ~0 and silently zeroed the
+    # VGG/style/content losses in training.  Kaiming fan_in (std=sqrt(2/fan))
+    # keeps activation variance ~constant through conv+ReLU, so the loss
+    # terms produce real gradients even without ImageNet weights
+    # (reference always trains them pretrained, loss.py:178-207).
+    from michigan_tpu.models.layers import set_default_init_type
+
+    prev = set_default_init_type("kaiming")
+    try:
+        variables = VGG19().init(rng, jnp.zeros((1, 64, 64, 3)))
+    finally:
+        set_default_init_type(*prev)
     return variables, False

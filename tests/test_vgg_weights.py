@@ -87,3 +87,47 @@ def test_vgg19_random_fallback_warns(tmp_path, monkeypatch):
         )
     assert not pretrained
     assert "params" in variables
+
+
+def test_vgg19_random_fallback_losses_alive(tmp_path, monkeypatch):
+    """Regression for the round-3 dead-loss bug: the fallback VGG used the
+    GAN nets' gain-0.02 xavier init, which collapses the 16-conv tower's
+    features to ~0 so VGG/style/content printed 0.000 for entire training
+    runs.  The fallback must keep activation variance through the tower
+    (kaiming) so all three loss terms are bounded away from zero on random
+    images (reference trains them always-on, loss.py:178-207)."""
+    from michigan_tpu.config import Options
+    from michigan_tpu.losses.perceptual import (
+        style_content_loss,
+        vgg_loss,
+    )
+    from michigan_tpu.models.layers import set_default_init_type
+
+    monkeypatch.delenv("MICHIGAN_VGG19", raising=False)
+    monkeypatch.chdir(tmp_path)
+    # simulate the training process state: GAN init active process-wide
+    prev = set_default_init_type("xavier", None)
+    try:
+        with pytest.warns(UserWarning, match="RANDOM VGG"):
+            variables, pretrained = load_vgg19_variables(
+                jax.random.PRNGKey(0), str(tmp_path)
+            )
+    finally:
+        set_default_init_type(*prev)
+    assert not pretrained
+
+    vgg_apply = lambda x: VGG19().apply(variables, x)
+    rng = np.random.default_rng(1)
+    fake = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5)
+    real = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5)
+
+    # tower features must not collapse: final slice carries real signal
+    feats = vgg_apply(fake)
+    assert float(jnp.abs(feats[-1]).mean()) > 1e-3
+
+    opt = Options(remove_background=False)
+    lv = float(vgg_loss(vgg_apply, fake, real, opt))
+    lc, ls = style_content_loss(vgg_apply, fake, real, real, opt)
+    assert lv > 1e-3, f"VGG loss dead: {lv}"
+    assert float(lc) > 1e-4, f"content loss dead: {float(lc)}"
+    assert float(ls) > 1e-6, f"style loss dead: {float(ls)}"
