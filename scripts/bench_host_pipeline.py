@@ -82,7 +82,11 @@ def main() -> None:
     ti = get_transform(opt, params)
     tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
     print(f"  image transform (BICUBIC): {_best(lambda: ti(img)):7.1f} ms")
-    print(f"  label transform (NEAREST): {_best(lambda: tl(img)):7.1f} ms")
+    # time the label transform on an actual label image (mode L/P) — the RGB
+    # image would measure a 3-channel resize the loader never does for labels
+    lab_img = Image.open(ds.label_paths[0])
+    lab_img.load()
+    print(f"  label transform (NEAREST): {_best(lambda: tl(lab_img)):7.1f} ms")
 
 
 if __name__ == "__main__":

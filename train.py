@@ -104,7 +104,14 @@ def main(argv=None):
         _s = opt.crop_size
         _ndt = jnp.bfloat16 if compact_transfer else jnp.float32
 
-        def _noise_batch(key):
+        # PRNGKey/fold_in happen INSIDE the jitted program from plain scalar
+        # inputs: eager fold_in would commit the key array to this process's
+        # default device, which is illegal as an input to a program whose
+        # out_shardings span the global multi-host mesh.  Uncommitted scalars
+        # are treated as replicated across processes, so the same program
+        # works single- and multi-host.
+        def _noise_batch(seed, ctr):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), ctr)
             keys = jax.random.split(key, opt.batchSize)
             out = jax.vmap(lambda k: generate_noise_jax(k, _s, _s))(keys)
             return out.astype(_ndt)
@@ -113,7 +120,7 @@ def main(argv=None):
             jax.jit(_noise_batch, out_shardings=batch_sharding)
             if batch_sharding is not None else jax.jit(_noise_batch)
         )
-        _noise_key = jax.random.PRNGKey(opt.seed ^ 0x6E015E)
+        _noise_seed = np.uint32((opt.seed ^ 0x6E015E) & 0xFFFFFFFF)
         _noise_ctr = [0]  # bumped per batch; single producer (feeder thread)
 
     def device_batch(data):
@@ -135,9 +142,7 @@ def main(argv=None):
                 for k, v in data.items()
             }
         if noise_batch_fn is not None:
-            out["noise"] = noise_batch_fn(
-                jax.random.fold_in(_noise_key, _noise_ctr[0])
-            )
+            out["noise"] = noise_batch_fn(_noise_seed, np.int32(_noise_ctr[0]))
             _noise_ctr[0] += 1
         return out
 
