@@ -56,12 +56,62 @@ def _scale_shortside(img: Image.Image, target: int, method) -> Image.Image:
     return img.resize((nw, nh), method)
 
 
+# torchvision ColorJitter(brightness=0.1, contrast=0.01, saturation=0.01,
+# hue=0.01) — the reference's jitter config (base_dataset.py:446)
+JITTER_BRIGHTNESS = 0.1
+JITTER_CONTRAST = 0.01
+JITTER_SATURATION = 0.01
+JITTER_HUE = 0.01
+
+
+def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
+    """torchvision F.adjust_hue PIL path: shift the HSV hue channel by
+    factor*255 with uint8 wraparound."""
+    if img.mode in ("L", "1", "I", "F"):
+        return img
+    hsv = img.convert("HSV")
+    h, s, v = hsv.split()
+    np_h = np.array(h, dtype=np.uint8)
+    np_h = ((np_h.astype(np.int32) + int(round(factor * 255.0))) % 256).astype(
+        np.uint8
+    )
+    return Image.merge("HSV", (Image.fromarray(np_h, "L"), s, v)).convert(
+        img.mode
+    )
+
+
+def color_jitter(img: Image.Image, r: random.Random) -> Image.Image:
+    """Full torchvision ColorJitter semantics (brightness/contrast/saturation/
+    hue, randomly ordered, factors uniform around 1) at the reference's
+    strengths.  Exact RNG parity with torchvision is impossible across
+    frameworks; the transform semantics and distributions match."""
+    from PIL import ImageEnhance
+
+    ops = [
+        ("brightness", r.uniform(1 - JITTER_BRIGHTNESS, 1 + JITTER_BRIGHTNESS)),
+        ("contrast", r.uniform(1 - JITTER_CONTRAST, 1 + JITTER_CONTRAST)),
+        ("saturation", r.uniform(1 - JITTER_SATURATION, 1 + JITTER_SATURATION)),
+        ("hue", r.uniform(-JITTER_HUE, JITTER_HUE)),
+    ]
+    r.shuffle(ops)
+    for name, f in ops:
+        if name == "brightness":
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif name == "contrast":
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif name == "saturation":
+            img = ImageEnhance.Color(img).enhance(f)
+        else:
+            img = _adjust_hue(img, f)
+    return img
+
+
 def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
                   normalize: bool = True, color: bool = False):
     """Returns PIL -> (H,W,C) float32 ndarray closure (base_dataset.py:420-454).
 
-    Color jitter is approximated with PIL enhancers (torchvision's jitter is
-    random anyway; exact RNG parity is impossible across frameworks)."""
+    color=True applies the full torchvision ColorJitter pipeline
+    (brightness/contrast/saturation/hue) at the reference's strengths."""
 
     def apply(img: Image.Image) -> np.ndarray:
         x = img
@@ -86,9 +136,7 @@ def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
         if opt.isTrain and not opt.no_flip and params.flip:
             x = x.transpose(Image.FLIP_LEFT_RIGHT)
         if color:
-            from PIL import ImageEnhance
-
-            x = ImageEnhance.Brightness(x).enhance(1.0 + random.uniform(-0.1, 0.1))
+            x = color_jitter(x, random)
 
         arr = np.asarray(x, dtype=np.float32)
         if arr.ndim == 2:

@@ -1,0 +1,73 @@
+"""ColorJitter semantics (reference base_dataset.py:446: torchvision
+ColorJitter(brightness=0.1, contrast=0.01, saturation=0.01, hue=0.01))."""
+
+import random
+
+import numpy as np
+from PIL import Image
+
+from michigan_tpu.data.transforms import _adjust_hue, color_jitter
+
+
+def _img(rng, size=32):
+    return Image.fromarray(
+        rng.integers(0, 256, (size, size, 3), dtype=np.uint8), "RGB"
+    )
+
+
+def test_color_jitter_deterministic_given_rng():
+    rng = np.random.default_rng(0)
+    img = _img(rng)
+    a = np.array(color_jitter(img, random.Random(7)))
+    b = np.array(color_jitter(img, random.Random(7)))
+    c = np.array(color_jitter(img, random.Random(8)))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_color_jitter_bounded_perturbation():
+    """Factors are tight (0.1/0.01/0.01/0.01): the jitter must perturb, and
+    only mildly — mean abs change well under the brightness bound's 25.5."""
+    rng = np.random.default_rng(1)
+    img = _img(rng, 64)
+    arr = np.array(img, np.float32)
+    for seed in range(5):
+        out = np.array(color_jitter(img, random.Random(seed)), np.float32)
+        d = np.abs(out - arr).mean()
+        assert d < 26.0, f"jitter too strong: mean abs {d}"
+    # at least one draw actually changes the image
+    assert any(
+        (np.array(color_jitter(img, random.Random(s))) != np.array(img)).any()
+        for s in range(5)
+    )
+
+
+def test_adjust_hue_wraparound_and_identity():
+    rng = np.random.default_rng(2)
+    img = _img(rng)
+    # factor 0 -> only the HSV<->RGB roundtrip's +-1 truncation remains
+    # (torchvision's PIL adjust_hue converts unconditionally too)
+    same = _adjust_hue(img, 0.0)
+    d = np.abs(
+        np.array(same.convert("HSV"))[..., 1:].astype(int)
+        - np.array(img.convert("HSV"))[..., 1:].astype(int)
+    )
+    assert d.max() <= 1
+    # +0.5 then -0.5 shifts wrap back to the identity hue channel
+    h0 = np.array(img.convert("HSV"))[..., 0]
+    h2 = np.array(
+        _adjust_hue(_adjust_hue(img, 0.5), -0.5).convert("HSV")
+    )[..., 0]
+    # uint8 wrap of +-round(127.5) is exact mod 256 (128-128=0 offset... the
+    # two shifts are +-128 -> net 0) up to HSV<->RGB roundtrip truncation
+    assert np.abs(h0.astype(int) - h2.astype(int)).mean() < 3.0
+
+
+def test_adjust_hue_moves_hue_channel_only():
+    rng = np.random.default_rng(3)
+    img = _img(rng)
+    out = _adjust_hue(img, 0.25)
+    a, b = np.array(img.convert("HSV")), np.array(out.convert("HSV"))
+    # value channel is preserved exactly; hue genuinely moves
+    np.testing.assert_array_equal(a[..., 2], b[..., 2])
+    assert (a[..., 0] != b[..., 0]).mean() > 0.5
