@@ -37,8 +37,31 @@ class _QWidget:
     def setWindowTitle(self, *_):
         pass
 
+    def setFixedSize(self, *_):
+        pass
+
     def show(self):
         pass
+
+
+class _QRadioButton:
+    def __init__(self, text=""):
+        self.text = text
+        self._checked = False
+        self.toggled = _Signal()
+        self.clicked = _Signal()
+
+    def setAutoExclusive(self, *_):
+        pass
+
+    def setChecked(self, v):
+        v = bool(v)
+        if v != self._checked:
+            self._checked = v
+            self.toggled.emit()
+
+    def isChecked(self):
+        return self._checked
 
 
 class _QGraphicsScene:
@@ -124,6 +147,7 @@ def fake_qt(monkeypatch):
     widgets.QVBoxLayout = _Layout
     widgets.QLabel = _QLabel
     widgets.QPushButton = _QPushButton
+    widgets.QRadioButton = _QRadioButton
     widgets.QWidget = _QWidget
     pkg = types.ModuleType("PyQt5")
     pkg.QtCore, pkg.QtGui, pkg.QtWidgets = core, gui, widgets
@@ -200,12 +224,12 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
     win.tag_name = "67172"
     win.ref_name = "59144"
 
-    # edit with no strokes: ref-mode, original tag (no hair removed)
+    # edit with default radios (Reference mask + Reference orientation):
+    # ref-mode, original unedited label (demo.py:336-344)
     win.edit()
     assert win.engine.calls[-1]["mode"] == "ref"
     assert win.result is not None
 
-    # background stroke across the hair -> hair removed -> recon tag selected
     label = np.array(
         Image.open(
             os.path.join(REPO, "datasets", "FFHQ_demo", "labels", "67172.png")
@@ -213,11 +237,17 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
     )
     ys, xs = np.nonzero(label)
     y, x0, x1 = int(ys.mean()), int(xs.min()), int(xs.max())
+
+    # background stroke + EDITED mask radio -> hair removed -> recon tag
+    # (demo.py:330-333 — only the edited-mask branch selects the recon)
+    win.mask_radio_edit.setChecked(True)
+    assert not win.mask_radio_ref.isChecked()  # manual radio pairing
     win.scene.mode = qt_ui.MODE_BG
-    win.scene.size = 30
-    win.scene.mousePressEvent(_Event(x0, y))
-    win.scene.mouseMoveEvent(_Event(x1, y))
-    win.scene.mouseReleaseEvent(_Event(x1, y))
+    win.scene.size = 15
+    for _ in range(3):  # wide erasure band
+        win.scene.mousePressEvent(_Event(x0, y))
+        win.scene.mouseMoveEvent(_Event(x1, y))
+        win.scene.mouseReleaseEvent(_Event(x1, y))
     win.edit()
     call = win.engine.calls[-1]
     recon = np.asarray(
@@ -229,9 +259,16 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(call["tag_img"]), recon)
 
-    # stroke mode routes to the SIG path
+    # with the REFERENCE mask radio the same strokes keep the original label
+    win.mask_radio_ref.setChecked(True)
+    assert not win.mask_radio_edit.isChecked()
+    win.edit()
+    np.testing.assert_array_equal(win.engine.calls[-1]["label"], label)
+
+    # Edited orientation radio routes to the SIG stroke path (demo.py:346-361)
     win.engine.calls.clear()
     win.scene.strokes[qt_ui.MODE_BG].clear()
+    win.orient_radio_edit.setChecked(True)
     win.scene.mode = qt_ui.MODE_STROKE
     win.scene.size = 12
     win.scene.mousePressEvent(_Event(x0, y))
@@ -240,6 +277,10 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
     win.edit()
     assert win.engine.calls[-1]["mode"] == "stroke"
 
+    # Clear drops every stroke (demo.py:446-452)
+    win.clear()
+    assert not any(win.scene.strokes[m] for m in win.scene.strokes)
+
     # save handler
     monkeypatch.chdir(tmp_path)
     win.save()
@@ -247,20 +288,72 @@ def test_demo_window_edit_flow(fake_qt, monkeypatch, tmp_path):
 
 
 def test_brush_size_stepping(fake_qt, monkeypatch):
+    """Reference brush stepping: +-1 clamped to [1, 15] (demo.py:301-307)."""
     from michigan_tpu.demo import qt_ui
 
     monkeypatch.setattr(qt_ui, "DemoEngine", _FakeEngine)
     win = qt_ui.DemoWindow(_demo_opt())
     assert win.scene.size == 6
     win.step_brush(+1)
-    assert win.scene.size == 12
-    win.step_brush(-1)
-    win.step_brush(-1)
-    assert win.scene.size == 2
-    win.step_brush(-1)  # clamped at the smallest reference width
-    assert win.scene.size == 2
+    assert win.scene.size == 7
+    for _ in range(10):
+        win.step_brush(-1)
+    assert win.scene.size == 1  # clamped at the reference minimum
+    for _ in range(20):
+        win.step_brush(+1)
+    assert win.scene.size == 15  # clamped at the reference maximum
+    win.scene.size = 2
     # strokes record the active size
     win.scene.mousePressEvent(_Event(0, 0))
     win.scene.mouseMoveEvent(_Event(3, 3))
     win.scene.mouseReleaseEvent(_Event(3, 3))
     assert win.scene.strokes[qt_ui.MODE_HAIR][-1][1] == 2
+
+
+def test_radio_pairs_exclusive(fake_qt, monkeypatch):
+    from michigan_tpu.demo import qt_ui
+
+    monkeypatch.setattr(qt_ui, "DemoEngine", _FakeEngine)
+    win = qt_ui.DemoWindow(_demo_opt())
+    assert win.mask_radio_ref.isChecked() and win.orient_radio_ref.isChecked()
+    win.mask_radio_edit.setChecked(True)
+    assert not win.mask_radio_ref.isChecked()
+    # the pairs are independent (reference groups them per QGroupBox)
+    assert win.orient_radio_ref.isChecked()
+    win.mask_radio_ref.setChecked(True)
+    assert not win.mask_radio_edit.isChecked()
+
+
+def test_open_mask_and_orient_overrides(fake_qt, monkeypatch):
+    from michigan_tpu.demo import qt_ui
+
+    monkeypatch.setattr(qt_ui, "DemoEngine", _FakeEngine)
+    win = qt_ui.DemoWindow(_demo_opt())
+    win.tag_name, win.ref_name = "67172", "59144"
+    d = os.path.join(REPO, "datasets", "FFHQ_demo")
+
+    # custom mask replaces the tag's own label in the edit dispatch
+    mask_path = os.path.join(d, "labels", "59144.png")
+    monkeypatch.setattr(
+        qt_ui.QFileDialog, "getOpenFileName",
+        lambda *a, **k: (mask_path, ""),
+    )
+    win.open_mask()
+    assert win.custom_mask is not None
+    win.edit()
+    expect = np.array(Image.open(mask_path))
+    if expect.ndim == 3:
+        expect = expect[..., 0]
+    np.testing.assert_array_equal(
+        win.engine.calls[-1]["label"], (expect > 0).astype(np.uint8)
+    )
+
+    # custom orient resolves its paired label as the orientation mask
+    orient_path = os.path.join(d, "orients", "59144_orient_dense.png")
+    monkeypatch.setattr(
+        qt_ui.QFileDialog, "getOpenFileName",
+        lambda *a, **k: (orient_path, ""),
+    )
+    win.open_orient()
+    assert win.custom_orient is not None
+    assert win.custom_orient_mask is not None
