@@ -131,6 +131,49 @@ def _is_oom(exc) -> bool:
     return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
 
 
+def _run_train_wall(size, batch_size):
+    """Loader-INCLUSIVE wall-clock training throughput: drives the real
+    train.py loop (CustomDataset + threaded prefetch + decode cache + device
+    noise + compact H2D transfer + fused step) on a soak dataset built from
+    the bundled samples, and reports train.py's own end-of-epoch wall rate —
+    the reference's metric is wall-clock around the whole loop
+    (util/iter_counter.py:42-50), not device-resident step time."""
+    import re
+    import subprocess
+    import tempfile
+
+    steps = int(os.environ.get("BENCH_WALL_STEPS", "60"))
+    ds = os.path.join(tempfile.gettempdir(), "bench_wall_ds")
+    if not os.path.isdir(os.path.join(ds, "train_images")):
+        subprocess.run(
+            [sys.executable, "scripts/make_soak_dataset.py", "--out", ds,
+             "--replicas", str(max(1, (steps * batch_size) // 3 + 1))],
+            check=True,
+        )
+    ck = os.path.join(tempfile.gettempdir(), "bench_wall_ck")
+    cmd = [
+        sys.executable, "train.py", "--name", "bench_wall",
+        "--checkpoints_dir", ck, "--data_dir", ds,
+        "--batchSize", str(batch_size), "--crop_size", str(size),
+        "--load_size", str(size + 56), "--niter", "1",
+        "--max_steps", str(steps + 1),
+        "--nThreads", "8", "--device_prefetch", "2",
+        "--decode_cache_mb", "512", "--device_noise",
+        "--save_latest_freq", "100000000", "--print_freq", "100000000",
+        "--display_freq", "100000000",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+    assert out.returncode == 0, "train.py failed"
+    m = None
+    for line in out.stdout.splitlines():
+        mm = re.search(r"wall throughput: ([0-9.]+) img/s over (\d+) steps", line)
+        if mm:
+            m = mm
+    assert m, "no wall-throughput line in train.py output"
+    return float(m.group(1)), int(m.group(2))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -157,6 +200,20 @@ def main():
     # default at 1024^2 (bs1 + full remat is already at the memory edge)
     fused = mode == "train" and os.environ.get(
         "BENCH_FUSED", "1" if size < 1024 else "0") == "1"
+
+    if mode == "train_wall":
+        rate, steps_done = _run_train_wall(size, batch_size)
+        metric = "%dpx_train_wall_throughput_bs%d" % (size, batch_size)
+        print(json.dumps({
+            "metric": metric,
+            "value": round(rate, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": _vs_baseline(metric, rate),
+            "config": {"loader_inclusive": True, "steps": steps_done,
+                       "decode_cache_mb": 512, "device_noise": True,
+                       "device_prefetch": 2, "nThreads": 8},
+        }))
+        return
 
     if mode == "train":
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G); bf16

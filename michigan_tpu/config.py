@@ -288,6 +288,9 @@ class Options:
     # (reference base_dataset.py:387-396), same class of documented
     # divergence as the native generator; off by default for parity
     device_noise: bool = False
+    # stop training after this many optimizer steps (0 = run the full
+    # niter/niter_decay schedule) — bounded soaks and wall-clock benches
+    max_steps: int = 0
 
     # ---- derived (finalize) ----
     semantic_nc: int = 2

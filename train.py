@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import random
 import sys
+import time
 
 import numpy as np
 
@@ -213,7 +214,21 @@ def main(argv=None):
         nonlocal state
         opt.curr_step = curr_step
         iter_counter.record_epoch_start(epoch)
+        # loader-INCLUSIVE wall throughput — the reference's own metric is
+        # wall-clock around the whole loop (util/iter_counter.py:42-50).
+        # Steps are dispatched async, so the clock starts only after the
+        # first step's losses are fetched (compile excluded) and stops after
+        # a final fetch drains the queue.
+        wall_t0 = None
+        wall_steps = 0
+        g_losses = d_losses = {}
+        stop = False
         for i, (data, batch) in enumerate(prefetch_to_device(loader)):
+            if opt.max_steps and (
+                iter_counter.total_steps_so_far // opt.batchSize >= opt.max_steps
+            ):
+                stop = True
+                break
             iter_counter.record_one_iteration()
             step_rng = jax.random.fold_in(
                 jax.random.PRNGKey(opt.seed), int(iter_counter.total_steps_so_far)
@@ -236,6 +251,13 @@ def main(argv=None):
                     reuse = fake if opt.reuse_fake_for_d else None
                     state, d_losses = d_step(state, batch, step_rng, extra,
                                              fake=reuse, orient=orient)
+
+            if i == 0:
+                for v in {**g_losses, **d_losses}.values():
+                    np.asarray(v)  # drain compile+first step off the clock
+                wall_t0 = time.perf_counter()
+            else:
+                wall_steps += 1
 
             if opt.debug_nans and (g_losses or d_losses):
                 for k, v in {**g_losses, **d_losses}.items():
@@ -289,10 +311,31 @@ def main(argv=None):
                 CK.save_checkpoint(opt, "latest", state)
                 iter_counter.record_current_iter()
 
+        if wall_t0 is not None and wall_steps > 0:
+            for v in {**g_losses, **d_losses}.values():
+                np.asarray(v)  # drain the async queue before stopping the clock
+            dt = time.perf_counter() - wall_t0
+            rate = wall_steps * opt.batchSize / dt
+            print(
+                f"epoch {epoch} wall throughput: {rate:.2f} img/s over "
+                f"{wall_steps} steps ({dt / wall_steps:.3f} s/step incl. data)"
+            )
+            visualizer.plot_current_errors(
+                {"wall_img_per_s": np.float32(rate)},
+                iter_counter.total_steps_so_far,
+            )
+        return stop
+
     for epoch in iter_counter.training_epochs():
+        stopped = False
         if opt.unpairTrain:
-            run_epoch(epoch, dataloader2, curr_step=2)
-        run_epoch(epoch, dataloader, curr_step=1)
+            stopped = run_epoch(epoch, dataloader2, curr_step=2)
+        if not stopped:
+            stopped = run_epoch(epoch, dataloader, curr_step=1)
+        if stopped:
+            print(f"stopping at --max_steps {opt.max_steps}")
+            CK.save_checkpoint(opt, "latest", state)
+            break
         state = state.set_learning_rate(opt, epoch + 1)
         iter_counter.record_epoch_end()
         if epoch % opt.save_epoch_freq == 0 or epoch == iter_counter.total_epochs:
