@@ -31,7 +31,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(rank: int, nproc: int, devices_per_proc: int, port: int) -> None:
+def worker(rank: int, nproc: int, devices_per_proc: int, port: int,
+           tiny: bool = False) -> None:
     # env (set by the launcher, asserted here) must predate the jax import;
     # the config update must additionally land before first backend init —
     # a sitecustomize that pre-imports jax makes the env var alone a no-op
@@ -77,12 +78,24 @@ def worker(rank: int, nproc: int, devices_per_proc: int, port: int) -> None:
     barrier = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(barrier_in)
     assert float(jax.device_get(barrier.addressable_shards[0].data)) == n_global
 
-    opt = Options(
-        isTrain=True, crop_size=64, load_size=64, ngf=8, ndf=8,
-        batchSize=n_global, use_encoder=True, use_ig=True,
-        noise_background=True, random_expand_mask=True,
-        num_upsampling_layers="normal",
-    ).finalize()
+    if tiny:
+        # ~1-minute config for the un-gated default-suite test: the smallest
+        # program that still runs the full cross-process G+D step (psum'd
+        # grads, cross-replica BN) — IG/encoder off to keep compile short
+        opt = Options(
+            isTrain=True, crop_size=32, load_size=32, ngf=4, ndf=4,
+            batchSize=n_global, use_encoder=False, use_ig=False,
+            noise_background=False,
+            num_upsampling_layers="normal", no_vgg_loss=True,
+            no_content_loss=True, no_style_loss=True,
+        ).finalize()
+    else:
+        opt = Options(
+            isTrain=True, crop_size=64, load_size=64, ngf=8, ndf=8,
+            batchSize=n_global, use_encoder=True, use_ig=True,
+            noise_background=True, random_expand_mask=True,
+            num_upsampling_layers="normal",
+        ).finalize()
 
     model, g_step, d_step = make_train_steps(opt, mesh=mesh)
 
@@ -122,7 +135,7 @@ def worker(rank: int, nproc: int, devices_per_proc: int, port: int) -> None:
     jax.distributed.shutdown()
 
 
-def launch(nproc: int, devices_per_proc: int) -> int:
+def launch(nproc: int, devices_per_proc: int, tiny: bool = False) -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -141,7 +154,8 @@ def launch(nproc: int, devices_per_proc: int) -> int:
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
              "--rank", str(r), "--nproc", str(nproc),
-             "--devices-per-proc", str(devices_per_proc), "--port", str(port)],
+             "--devices-per-proc", str(devices_per_proc), "--port", str(port)]
+            + (["--tiny"] if tiny else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for r in range(nproc)
@@ -183,11 +197,14 @@ def main() -> int:
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="~1-min config (32^2 ngf4, no IG/encoder)")
     args = ap.parse_args()
     if args.worker:
-        worker(args.rank, args.nproc, args.devices_per_proc, args.port)
+        worker(args.rank, args.nproc, args.devices_per_proc, args.port,
+               tiny=args.tiny)
         return 0
-    return launch(args.nproc, args.devices_per_proc)
+    return launch(args.nproc, args.devices_per_proc, tiny=args.tiny)
 
 
 if __name__ == "__main__":

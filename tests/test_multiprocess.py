@@ -95,6 +95,19 @@ def test_cross_process_reduction():
         assert float(lines[0].split()[2]) == 6.0, lines[0]
 
 
+def test_multiprocess_train_step_tiny():
+    """Un-gated: a true 2-process G+D train step at the ~1-minute config
+    (32^2 ngf4, no IG/encoder) — cross-process psum'd grads + BN stats with
+    identical finite losses on both ranks."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multiprocess_train.py"),
+         "--tiny", "--nproc", "2", "--devices-per-proc", "2"],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "multiprocess_train OK" in r.stdout
+
+
 @pytest.mark.skipif(
     os.environ.get("MICHIGAN_RUN_MP") != "1",
     reason="full multi-process train step is minutes of CPU compile; "
