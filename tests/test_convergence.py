@@ -23,6 +23,9 @@ from michigan_tpu.data.single import single_inference_data
 from michigan_tpu.model import MichiGANModel
 from michigan_tpu.training.state import TrainState
 from michigan_tpu.training.train_step import make_train_steps
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 
 STEPS = 40
 

@@ -13,6 +13,9 @@ from michigan_tpu.config import Options
 from michigan_tpu.parallel.mesh import make_mesh
 from michigan_tpu.training.state import TrainState
 from michigan_tpu.training.train_step import make_train_steps
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 
 
 def tiny_opt():

@@ -1,0 +1,194 @@
+"""End-to-end inference oracle against the reference's OWN pipeline.
+
+Runs the reference's actual flow (/root/reference/inference.py:23-56 +
+data/base_dataset.py:49-160) in torch on CPU — Pix2PixModel built through its
+own checkpoint-loading path from random-init warmed weights — and this repo's
+real `inference.main()` CLI with the same converted weights, end to end:
+data load -> IG inpainting_orient -> encoders -> generator -> pad-crop ->
+composite.  Final uint8 outputs must agree at PSNR > 40 dB on sample 67172.
+
+This is the strongest available surrogate for the released-checkpoint golden
+gate (the released .pth files are not downloadable in this environment).
+Stochastic loader inputs (noise pyramid, random hole) are drawn once by the
+reference loader and shared with our pipeline; every deterministic loader
+tensor is additionally asserted equal between the two data layers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from michigan_tpu.config import Options
+from tests.reference_oracle import import_reference_pipeline, torch_opt
+
+pytestmark = pytest.mark.slow
+
+REF = import_reference_pipeline()
+
+
+def to_nhwc(t):
+    return np.moveaxis(t.detach().cpu().numpy(), 1, -1)
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _make_opt(tmp_path, **kw):
+    d = dict(
+        isTrain=False, phase="test", batchSize=1, serial_batches=True,
+        no_flip=True, preprocess_mode="resize_and_crop",
+        crop_size=512, load_size=512,
+        netG="spadeb", use_encoder=True, use_ig=True, use_stroke=False,
+        noise_background=True, expand_mask_be=True, expand_th=5,
+        add_feat_zeros=True,
+        data_dir="datasets/FFHQ_single", subset="val",
+        inference_ref_name="67172", inference_tag_name="67172",
+        inference_orient_name="67172",
+        which_epoch="50", name="oracle", checkpoints_dir=str(tmp_path),
+        seed=0,
+    )
+    d.update(kw)
+    return Options(**d).finalize()
+
+
+def _build_warmed_reference(opt, topt):
+    """Reference Pix2PixModel via its own load path (pix2pix_model.py:168-201)
+    from random-init weights; BN running stats warmed by one momentum-1.0
+    train-mode forward (running stats := that forward's batch stats), then the
+    warmed state_dict is re-saved for this repo's converter.  Returns
+    (model, ref_data)."""
+    ckpt = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(ckpt, exist_ok=True)
+
+    torch.manual_seed(0)
+    net_g = REF.networks.define_G(topt)
+    net_ig = REF.networks.define_IG(topt)
+    torch.save(net_g.state_dict(), os.path.join(ckpt, f"{opt.which_epoch}_net_G.pth"))
+    torch.save({"generator": net_ig.state_dict()},
+               os.path.join(ckpt, opt.ig_model_name))
+
+    model = REF.Pix2PixModel(topt)  # loads both files through util.load_network
+
+    np.random.seed(123)
+    import random as _pyrandom
+
+    _pyrandom.seed(123)
+    ref_data = REF.base_dataset.single_inference_dataLoad(topt)
+
+    # warm: momentum 1.0 => running stats equal the batch stats of this
+    # forward (sync_batchnorm/batchnorm.py:137-145 momentum rule), keeping
+    # eval-mode outputs in the operating regime with random weights
+    for m in model.netG.modules():
+        if hasattr(m, "running_mean") and hasattr(m, "momentum"):
+            m.momentum = 1.0
+    model.netG.train()
+    with torch.no_grad():
+        model(ref_data, mode="inference")
+    model.eval()
+    torch.save(model.netG.state_dict(),
+               os.path.join(ckpt, f"{opt.which_epoch}_net_G.pth"))
+    return model, ref_data
+
+
+def _run_ours(opt, ref_data, monkeypatch):
+    """Drive this repo's real inference.main() CLI with the reference's
+    stochastic tensors (noise, hole) injected after our own data load, and
+    capture the final uint8 image instead of writing the jpg."""
+    import michigan_tpu.data.single as my_single
+    import michigan_tpu.utils.imaging as my_imaging
+    import inference as my_inference
+
+    real_loader = my_single.single_inference_data
+    loaded = {}
+
+    def loader_with_ref_random(o):
+        d = real_loader(o)
+        loaded.update(d)
+        d = dict(d)
+        d["noise"] = to_nhwc(ref_data["noise"]).astype(np.float32)
+        d["hole"] = to_nhwc(ref_data["hole"]).astype(np.float32)
+        return d
+
+    captured = {}
+
+    def capture_save(img, path):
+        captured["img"] = np.asarray(img)
+        captured["path"] = path
+
+    monkeypatch.setattr(my_single, "single_inference_data", loader_with_ref_random)
+    monkeypatch.setattr(my_imaging, "save_image", capture_save)
+
+    argv = [
+        "--name", opt.name, "--checkpoints_dir", opt.checkpoints_dir,
+        "--data_dir", opt.data_dir,
+        "--inference_ref_name", opt.inference_ref_name,
+        "--inference_tag_name", opt.inference_tag_name,
+        "--inference_orient_name", opt.inference_orient_name,
+        "--netG", "spadeb", "--use_encoder", "--use_ig", "--noise_background",
+        "--expand_mask_be", "--expand_th", str(opt.expand_th),
+        "--crop_size", str(opt.crop_size), "--load_size", str(opt.load_size),
+        "--preprocess_mode", opt.preprocess_mode,
+        "--which_epoch", opt.which_epoch, "--seed", "0",
+    ]
+    if opt.add_feat_zeros:
+        argv.append("--add_feat_zeros")
+    if opt.remove_background:
+        argv.append("--remove_background")
+    my_inference.main(argv)
+    return captured["img"], loaded
+
+
+def _assert_loader_parity(ours, ref_data):
+    """Every deterministic tensor of our loader must match the reference
+    loader's (base_dataset.py:49-160) — data-load parity, independent of the
+    shared stochastic noise/hole."""
+    for k in ("label_ref", "label_tag", "orient", "orient_rgb",
+              "image_ref", "image_tag"):
+        np.testing.assert_allclose(
+            ours[k], to_nhwc(ref_data[k]), atol=2e-3,
+            err_msg=f"loader tensor {k} diverges from the reference loader",
+        )
+
+
+@pytest.mark.parametrize("case", ["demo_flags", "composite"])
+def test_full_pipeline_vs_reference(case, tmp_path, monkeypatch):
+    if case == "demo_flags":
+        # the README inference command's flag set (inference.py:23-56):
+        # 512^2, add_feat_zeros pad-crop, no compositing
+        opt = _make_opt(tmp_path)
+    else:
+        # compositing path (inference.py:41-42).  The reference composites
+        # BEFORE its pad-crop, which crashes when add_feat_zeros pads the
+        # output to 576^2 against 512^2 masks — so the composite case runs
+        # without add_feat_zeros (256^2 keeps the torch side fast; the
+        # resize branch of both loaders is exercised as a bonus).
+        opt = _make_opt(
+            tmp_path, crop_size=256, load_size=256,
+            add_feat_zeros=False, remove_background=True,
+        )
+    topt = torch_opt(opt)
+
+    ref_model, ref_data = _build_warmed_reference(opt, topt)
+    with torch.no_grad():
+        generated = ref_model(ref_data, mode="inference")
+
+    # reference post-processing, inference.py:41-51
+    if opt.remove_background:
+        generated = generated * ref_data["label_tag"].float() + \
+            ref_data["image_tag"] * (1 - ref_data["label_tag"].float())
+    ref_img = REF.util.tensor2im(generated[0])
+    if opt.add_feat_zeros:
+        th, H = opt.add_th, opt.crop_size
+        ref_img = ref_img[th // 2: th // 2 + H, th // 2: th // 2 + H, :]
+    ref_img = np.uint8(ref_img)
+
+    ours_img, loaded = _run_ours(opt, ref_data, monkeypatch)
+    _assert_loader_parity(loaded, ref_data)
+
+    assert ours_img.shape == ref_img.shape, (ours_img.shape, ref_img.shape)
+    p = psnr(ours_img, ref_img)
+    assert p > 40.0, f"end-to-end PSNR {p:.2f} dB <= 40 vs reference pipeline"

@@ -18,6 +18,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
+
 from michigan_tpu.config import Options
 from michigan_tpu import models as M
 

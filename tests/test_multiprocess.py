@@ -24,6 +24,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PSUM_WORKER = textwrap.dedent(

@@ -4,6 +4,8 @@ import math
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 import torch
 import torch.nn.functional as F
 

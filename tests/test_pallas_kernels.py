@@ -7,6 +7,9 @@ from michigan_tpu.ops.norms import instance_norm
 from michigan_tpu.ops.filters import orientation_response
 from michigan_tpu.ops.pallas.spade import fused_instance_norm, spade_modulate
 from michigan_tpu.ops.pallas.filterbank import filterbank_orientation
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 
 
 def test_fused_instance_norm(rng):

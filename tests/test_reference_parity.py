@@ -5,6 +5,8 @@ in this environment)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 import torch
 
 import jax

@@ -4,6 +4,8 @@ AOT serving session must reproduce the live jitted model exactly."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

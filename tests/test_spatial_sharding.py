@@ -10,6 +10,9 @@ from jax.sharding import Mesh
 from michigan_tpu.config import Options
 from michigan_tpu.model import MichiGANModel
 from michigan_tpu.parallel.spatial import make_spatial_infer
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 
 
 def test_spatial_sharded_inference_matches():

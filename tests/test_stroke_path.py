@@ -4,6 +4,8 @@ eager re-expression of pix2pix_model.py:431-464 for both branch outcomes."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

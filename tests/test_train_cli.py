@@ -8,6 +8,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile tier; fast tier: -m 'not slow'
 from PIL import Image
 
 import train as train_cli
