@@ -75,12 +75,18 @@ def _vgg_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
     return np.concatenate(chunks) if chunks else np.zeros((0, 512), np.float32)
 
 
-def frechet_distance(f1: np.ndarray, f2: np.ndarray) -> float:
+def frechet_distance(f1: np.ndarray, f2: np.ndarray, eps: float = 1e-6) -> float:
     from scipy import linalg
 
     mu1, mu2 = f1.mean(0), f2.mean(0)
     c1 = np.cov(f1, rowvar=False)
     c2 = np.cov(f2, rowvar=False)
+    # ridge keeps sqrtm stable when the sample count is below the feature
+    # dim (rank-deficient covariances, e.g. small validation sets); the same
+    # offset is applied to both sides so trajectories remain comparable
+    ridge = eps * np.eye(c1.shape[0])
+    c1 = c1 + ridge
+    c2 = c2 + ridge
     covmean, _ = linalg.sqrtm(c1 @ c2, disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real

@@ -25,6 +25,12 @@ from tests.reference_oracle import import_reference_pipeline, torch_opt
 
 pytestmark = pytest.mark.slow
 
+# the reference's generate_hole calls .astype(np.float)
+# (base_dataset.py:358) — an alias numpy removed in 1.20; restore it so the
+# UNMODIFIED reference loader executes on modern numpy
+if not hasattr(np, "float"):
+    np.float = float  # noqa: A001
+
 REF = import_reference_pipeline()
 
 
