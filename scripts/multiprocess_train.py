@@ -79,8 +79,8 @@ def worker(rank: int, nproc: int, devices_per_proc: int, port: int,
     assert float(jax.device_get(barrier.addressable_shards[0].data)) == n_global
 
     if tiny:
-        # ~1-minute config for the un-gated default-suite test: the smallest
-        # program that still runs the full cross-process G+D step (psum'd
+        # smallest useful config for the un-gated (slow-tier) test: still
+        # runs the full cross-process G+D step (psum'd
         # grads, cross-replica BN) — IG/encoder off to keep compile short
         opt = Options(
             isTrain=True, crop_size=32, load_size=32, ngf=4, ndf=4,
@@ -104,9 +104,12 @@ def worker(rank: int, nproc: int, devices_per_proc: int, port: int,
     rng_np = np.random.default_rng(0)  # same stream; rows selected per rank
     s = opt.crop_size
     n = opt.batchSize
+    lab = rng_np.integers(0, 2, (n, s, s, 1)).astype(np.float32)
     full = {
-        "label_ref": rng_np.integers(0, 2, (n, s, s, 1)).astype(np.float32),
-        "label_tag": rng_np.integers(0, 2, (n, s, s, 1)).astype(np.float32),
+        # paired labels: ref_is_tag=1 keeps the GAN_Feat/background/rgb/lab
+        # loss paths live so their gradients actually cross processes
+        "label_ref": lab,
+        "label_tag": lab.copy(),
         "image_ref": rng_np.uniform(-1, 1, (n, s, s, 3)).astype(np.float32),
         "image_tag": rng_np.uniform(-1, 1, (n, s, s, 3)).astype(np.float32),
         "orient": rng_np.uniform(0, 255, (n, s, s, 1)).astype(np.float32),

@@ -98,9 +98,10 @@ def test_cross_process_reduction():
 
 
 def test_multiprocess_train_step_tiny():
-    """Un-gated: a true 2-process G+D train step at the ~1-minute config
-    (32^2 ngf4, no IG/encoder) — cross-process psum'd grads + BN stats with
-    identical finite losses on both ranks."""
+    """Un-gated (slow tier): a true 2-process G+D train step at the tiny
+    config (32^2 ngf4, paired labels, no IG/encoder) — cross-process psum'd
+    grads + BN stats with identical finite losses on both ranks; ~6 min on a
+    1-core host (two concurrent compiles)."""
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "multiprocess_train.py"),
          "--tiny", "--nproc", "2", "--devices-per-proc", "2"],
