@@ -26,8 +26,14 @@ _M_ROWSUM = _M.sum(axis=1)  # white point normalization (loss.py:461-464)
 
 
 def _f(t: jnp.ndarray) -> jnp.ndarray:
-    # CIE lab curve (loss.py:439-444)
-    return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 0.137931)
+    # CIE lab curve (loss.py:439-444).  Double-where: cbrt's derivative is
+    # (1/3)t^(-2/3) -> inf at t=0, and jax.where backprops inf*0 = NaN
+    # through the UNSELECTED branch (a black pixel in the fake = xyz 0 took
+    # the round-4 soak to NaN at step ~70).  torch's masked indexing only
+    # differentiates selected elements, so the reference never hits this.
+    pred = t > 0.008856
+    safe = jnp.where(pred, t, 1.0)
+    return jnp.where(pred, jnp.cbrt(safe), 7.787 * t + 0.137931)
 
 
 def rgb_to_xyz(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -238,3 +238,21 @@ def test_style_content_masked_stats_parity(rng):
     ref_s = mse(sm, fm) + mse(ss, fs)
     np.testing.assert_allclose(float(ref_c), float(lc), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(ref_s), float(ls), rtol=1e-4, atol=1e-5)
+
+
+def test_lab_loss_grad_finite_at_black_pixels(rng):
+    """Regression for the round-4 soak NaN: cbrt's derivative is inf at 0,
+    and jnp.where backprops inf*0 = NaN through the unselected branch when
+    a fake-image pixel saturates to exactly -1 (xyz = 0).  The reference's
+    masked index-assignment (loss.py:439-444) only differentiates selected
+    elements, so parity requires finite gradients here."""
+    opt = Options(isTrain=True).finalize()
+    fake = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32))
+    fake = fake.at[0, :4, :4, :].set(-1.0)  # saturated black patch
+    real = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32))
+    mask = jnp.ones((1, 16, 16, 1), np.float32)
+
+    g = jax.grad(
+        lambda f: L.lab_color_loss(f, real, opt, mask, None)
+    )(fake)
+    assert np.isfinite(np.asarray(g)).all()
