@@ -157,3 +157,29 @@ def test_ig_epilogue_path_matches(rng):
     ours = fused.apply(variables, x)  # identical param tree by construction
     np.testing.assert_allclose(
         np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_lowch_parity(rng):
+    """Low-channel conv kernel (both strategies) vs the XLA conv."""
+    from michigan_tpu.ops.pallas.conv_lowch import (
+        _xla_reference, conv3x3_same_lowch)
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
+    want = np.asarray(_xla_reference(x, w))
+    for im2col in (True, False):
+        got = np.asarray(conv3x3_same_lowch(
+            x, w, tile_rows=4, im2col=im2col))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_lowch_fallback(rng):
+    """Undivisible H falls back to the identical XLA conv."""
+    from michigan_tpu.ops.pallas.conv_lowch import (
+        _xla_reference, conv3x3_same_lowch)
+
+    x = jnp.asarray(rng.standard_normal((1, 10, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_same_lowch(x, w, tile_rows=4)),
+        np.asarray(_xla_reference(x, w)), rtol=1e-5, atol=1e-5)
