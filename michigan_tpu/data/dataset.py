@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from michigan_tpu.data.preprocess import generate_hole, trans_orient_to_rgb
-from michigan_tpu.data.transforms import get_params, get_transform
+from michigan_tpu.data.transforms import get_params, get_transform, pre_geometry
 from michigan_tpu.ops.noise import generate_noise_fast
 
 IMG_EXTENSIONS = (
@@ -154,39 +154,79 @@ class CustomDataset:
         the live branch is implemented.
         """
         opt = self.opt
+
+        # cache-aware pre-scaling: the load_size scaling stage is
+        # parameter-independent (crop/flip randomness applies after), so
+        # serve it from the decode cache — each image is resampled once per
+        # run instead of once per step (the single-core host's hottest
+        # transform op, PERF.md wall-clock ladder).  pre_geometry is
+        # idempotent, so the per-step transform skips its scaling stage.
+        can_preresize = self._cache is not None and any(
+            m in opt.preprocess_mode
+            for m in ("resize", "scale_width", "scale_shortside")
+        )
+
+        def open_t(path, method=Image.BICUBIC, rgb=False):
+            if can_preresize:
+                def produce():
+                    img = self._open(path)
+                    if rgb:
+                        img = img.convert("RGB")
+                    return pre_geometry(img, opt, method)
+
+                return self._cache.get_or_put(
+                    f"{path}@{'rgb' if rgb else ''}geo:"
+                    f"{opt.preprocess_mode}:{opt.load_size}:m{method}",
+                    produce,
+                )
+            img = self._open(path)
+            return img.convert("RGB") if rgb else img
+
         label = self._open(self.label_paths[index])
         params = get_params(opt, label.size, rng)
         tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
-        label_t = tl(label) * 255.0
+        # raw variant: pixel values directly (bit-identical to tl()*255)
+        trl = get_transform(opt, params, method=Image.NEAREST,
+                            normalize=False, raw=True)
+        label_t = trl(open_t(self.label_paths[index], Image.NEAREST))
         label_t[label_t == 255] = opt.label_nc
 
         index_ref = index if self.step == 1 else rng.randint(0, len(self) - 1)
-        label_ref = self._open(self.label_paths[index_ref])
-        label_ref_t = tl(label_ref) * 255.0
+        label_ref_t = trl(open_t(self.label_paths[index_ref], Image.NEAREST))
         label_ref_t[label_ref_t == 255] = opt.label_nc
 
         ti = get_transform(opt, params)
-        image_t = ti(self._open(self.image_paths[index]).convert("RGB"))
+        image_t = ti(open_t(self.image_paths[index], rgb=True))
         ti_ref = (
             get_transform(opt, params, color=True) if opt.color_jitter else ti
         )
-        image_ref_t = ti_ref(self._open(self.image_paths[index_ref]).convert("RGB"))
+        image_ref_t = ti_ref(open_t(self.image_paths[index_ref], rgb=True))
 
-        orient = self._open(self.orient_paths[index])
-        orient_t = tl(orient) * 255.0
+        orient_t = trl(open_t(self.orient_paths[index], Image.NEAREST))
 
         # rgb orient from the sample's own orient + label (live branch,
         # pix2pix_dataset.py:131-134)
         if opt.use_ig and not opt.no_orientation:
             # pure function of the sample's raw orient+label (transforms
-            # apply after) — cache the encoded image alongside the decodes
-            make_rgb = lambda: trans_orient_to_rgb(
-                np.array(orient), np.array(label)
-            )
-            rgb = (
-                self._cache.get_or_put(f"__orient_rgb__:{index}", make_rgb)
-                if self._cache is not None else make_rgb()
-            )
+            # apply after) — cache the encoded image alongside the decodes,
+            # pre-resized when the pipeline allows (see open_t)
+            def make_rgb():
+                return trans_orient_to_rgb(
+                    np.array(self._open(self.orient_paths[index])),
+                    np.array(label),
+                )
+
+            if can_preresize:
+                rgb = self._cache.get_or_put(
+                    f"__orient_rgb__geo:{opt.preprocess_mode}:"
+                    f"{opt.load_size}:{index}",
+                    lambda: pre_geometry(make_rgb(), opt, Image.NEAREST),
+                )
+            elif self._cache is not None:
+                rgb = self._cache.get_or_put(
+                    f"__orient_rgb__:{index}", make_rgb)
+            else:
+                rgb = make_rgb()
             orient_rgb_t = tl(rgb) * label_t
         else:
             orient_rgb_t = np.zeros_like(image_t)
@@ -195,18 +235,21 @@ class CustomDataset:
             idx_o = rng.randint(0, len(self) - 1)
             orient_mask = np.array(self._open(self.label_paths[idx_o]))
             hole = generate_hole(np.array(label), orient_mask, rng)
-            hole_t = tl(hole) * 255.0
+            hole_t = trl(hole)
         else:
             hole_t = np.zeros_like(label_t)
 
+        # copy=False: the transform closures already return float32, so a
+        # plain astype would memcpy every array again (was ~60% of the warm
+        # per-sample host time on this single-core container)
         out = {
-            "label_tag": label_t.astype(np.float32),
-            "label_ref": label_ref_t.astype(np.float32),
-            "image_tag": image_t.astype(np.float32),
-            "image_ref": image_ref_t.astype(np.float32),
-            "orient": orient_t.astype(np.float32),
-            "hole": hole_t.astype(np.float32),
-            "orient_rgb": orient_rgb_t.astype(np.float32),
+            "label_tag": label_t.astype(np.float32, copy=False),
+            "label_ref": label_ref_t.astype(np.float32, copy=False),
+            "image_tag": image_t.astype(np.float32, copy=False),
+            "image_ref": image_ref_t.astype(np.float32, copy=False),
+            "orient": orient_t.astype(np.float32, copy=False),
+            "hole": hole_t.astype(np.float32, copy=False),
+            "orient_rgb": orient_rgb_t.astype(np.float32, copy=False),
         }
         # --device_noise moves the pyramid into the jitted transfer path
         # (train.py device_batch) — the loader then ships no noise at all.

@@ -106,21 +106,35 @@ def color_jitter(img: Image.Image, r: random.Random) -> Image.Image:
     return img
 
 
+def pre_geometry(img: Image.Image, opt, method) -> Image.Image:
+    """The parameter-independent scaling stage of the transform pipeline
+    (base_dataset.py:420-434).  Idempotent: resize skips when the size
+    already matches, _scale_width/_scale_shortside no-op on target match —
+    which is what lets the decode cache serve pre-scaled images."""
+    if "resize" in opt.preprocess_mode:
+        if img.size != (opt.load_size, opt.load_size):
+            return img.resize((opt.load_size, opt.load_size), method)
+        return img
+    if "scale_width" in opt.preprocess_mode:
+        return _scale_width(img, opt.load_size, method)
+    if "scale_shortside" in opt.preprocess_mode:
+        return _scale_shortside(img, opt.load_size, method)
+    return img
+
+
 def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
-                  normalize: bool = True, color: bool = False):
+                  normalize: bool = True, color: bool = False,
+                  raw: bool = False):
     """Returns PIL -> (H,W,C) float32 ndarray closure (base_dataset.py:420-454).
 
     color=True applies the full torchvision ColorJitter pipeline
     (brightness/contrast/saturation/hue) at the reference's strengths."""
 
     def apply(img: Image.Image) -> np.ndarray:
-        x = img
-        if "resize" in opt.preprocess_mode:
-            x = x.resize((opt.load_size, opt.load_size), method)
-        elif "scale_width" in opt.preprocess_mode:
-            x = _scale_width(x, opt.load_size, method)
-        elif "scale_shortside" in opt.preprocess_mode:
-            x = _scale_shortside(x, opt.load_size, method)
+        # pre_geometry no-ops on already-scaled inputs, so images served
+        # from the loader's pre-resized decode cache (dataset.py open_t)
+        # skip the per-step resample on the single-core host
+        x = pre_geometry(img, opt, method)
         if "crop" in opt.preprocess_mode:
             cx, cy = params.crop_pos
             x = x.crop((cx, cy, cx + opt.crop_size, cy + opt.crop_size))
@@ -141,9 +155,18 @@ def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
         arr = np.asarray(x, dtype=np.float32)
         if arr.ndim == 2:
             arr = arr[..., None]
-        arr = arr / 255.0  # torchvision ToTensor
+        if raw:
+            # pixel values as-is, for callers that would multiply the
+            # ToTensor /255 straight back out (labels/orients/holes);
+            # (v/255)*255 == v exactly in float32 for all uint8 v, so this
+            # is bit-identical and saves two full passes per array
+            return arr
         if normalize:
-            arr = (arr - 0.5) / 0.5
+            # one pass; bit-identical to ToTensor + Normalize(0.5, 0.5)
+            # ((v/255 - 0.5)/0.5 == v/127.5 - 1 exactly for all uint8 v)
+            arr = arr / np.float32(127.5) - np.float32(1.0)
+        else:
+            arr = arr / np.float32(255.0)  # torchvision ToTensor
         return arr
 
     return apply
