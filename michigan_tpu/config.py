@@ -288,6 +288,14 @@ class Options:
     # (reference base_dataset.py:387-396), same class of documented
     # divergence as the native generator; off by default for parity
     device_noise: bool = False
+    # recompute the RGB orient encoding inside the jitted transfer program
+    # from the shipped orient+label planes instead of producing it on the
+    # host: the encoding is pointwise in (orient, label) so it commutes
+    # with NEAREST/crop/flip exactly (bit-equal decode, see train.py);
+    # saves 3 float channels of H2D per sample.  Caveat: uses the
+    # 255->label_nc-remapped label where the host path masks with the raw
+    # label (identical for 0/1 hair labels)
+    device_orient_rgb: bool = False
     # stop training after this many optimizer steps (0 = run the full
     # niter/niter_decay schedule) — bounded soaks and wall-clock benches
     max_steps: int = 0

@@ -185,28 +185,46 @@ class CustomDataset:
         label = self._open(self.label_paths[index])
         params = get_params(opt, label.size, rng)
         tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
-        # raw variant: pixel values directly (bit-identical to tl()*255)
-        trl = get_transform(opt, params, method=Image.NEAREST,
-                            normalize=False, raw=True)
-        label_t = trl(open_t(self.label_paths[index], Image.NEAREST))
+        # uint8 wire: pixel values, byte dtype (bit-identical to tl()*255
+        # after the in-program decode, train_step._f32) — the loader does
+        # no float math and the host->device transfer is 1/4 the bytes
+        tru = get_transform(opt, params, method=Image.NEAREST,
+                            normalize=False, as_uint8=True)
+        label_t = tru(open_t(self.label_paths[index], Image.NEAREST))
         label_t[label_t == 255] = opt.label_nc
 
-        index_ref = index if self.step == 1 else rng.randint(0, len(self) - 1)
-        label_ref_t = trl(open_t(self.label_paths[index_ref], Image.NEAREST))
-        label_ref_t[label_ref_t == 255] = opt.label_nc
+        # paired stage (step 1): ref index IS the tag index, so the ref
+        # label (and, without color jitter, the ref image) are bit-equal to
+        # the tag arrays — skip producing and shipping them; the consumer
+        # aliases them device-side (train.py device_batch)
+        paired = self.step == 1
+        index_ref = index if paired else rng.randint(0, len(self) - 1)
+        label_ref_t = None
+        if not paired:
+            label_ref_t = tru(open_t(self.label_paths[index_ref], Image.NEAREST))
+            label_ref_t[label_ref_t == 255] = opt.label_nc
 
-        ti = get_transform(opt, params)
-        image_t = ti(open_t(self.image_paths[index], rgb=True))
-        ti_ref = (
-            get_transform(opt, params, color=True) if opt.color_jitter else ti
-        )
-        image_ref_t = ti_ref(open_t(self.image_paths[index_ref], rgb=True))
+        tiu = get_transform(opt, params, as_uint8=True)
+        image_t = tiu(open_t(self.image_paths[index], rgb=True))
+        image_ref_t = None
+        if not paired or opt.color_jitter:
+            ti_ref = (
+                get_transform(opt, params, color=True, as_uint8=True)
+                if opt.color_jitter else tiu
+            )
+            image_ref_t = ti_ref(open_t(self.image_paths[index_ref], rgb=True))
 
-        orient_t = trl(open_t(self.orient_paths[index], Image.NEAREST))
+        orient_t = tru(open_t(self.orient_paths[index], Image.NEAREST))
 
         # rgb orient from the sample's own orient + label (live branch,
-        # pix2pix_dataset.py:131-134)
-        if opt.use_ig and not opt.no_orientation:
+        # pix2pix_dataset.py:131-134).  --device_orient_rgb recomputes it
+        # in the jitted transfer program instead (pointwise in (orient,
+        # label), so it commutes with NEAREST/crop/flip exactly) — the
+        # loader then ships nothing for it.
+        if (getattr(opt, "device_orient_rgb", False)
+                and opt.use_ig and not opt.no_orientation):
+            orient_rgb_t = None
+        elif opt.use_ig and not opt.no_orientation:
             # pure function of the sample's raw orient+label (transforms
             # apply after) — cache the encoded image alongside the decodes,
             # pre-resized when the pipeline allows (see open_t)
@@ -229,28 +247,28 @@ class CustomDataset:
                 rgb = make_rgb()
             orient_rgb_t = tl(rgb) * label_t
         else:
-            orient_rgb_t = np.zeros_like(image_t)
+            orient_rgb_t = np.zeros(image_t.shape, np.float32)
 
         if opt.use_ig:
             idx_o = rng.randint(0, len(self) - 1)
             orient_mask = np.array(self._open(self.label_paths[idx_o]))
             hole = generate_hole(np.array(label), orient_mask, rng)
-            hole_t = trl(hole)
+            hole_t = tru(hole)
         else:
             hole_t = np.zeros_like(label_t)
 
-        # copy=False: the transform closures already return float32, so a
-        # plain astype would memcpy every array again (was ~60% of the warm
-        # per-sample host time on this single-core container)
         out = {
-            "label_tag": label_t.astype(np.float32, copy=False),
-            "label_ref": label_ref_t.astype(np.float32, copy=False),
-            "image_tag": image_t.astype(np.float32, copy=False),
-            "image_ref": image_ref_t.astype(np.float32, copy=False),
-            "orient": orient_t.astype(np.float32, copy=False),
-            "hole": hole_t.astype(np.float32, copy=False),
-            "orient_rgb": orient_rgb_t.astype(np.float32, copy=False),
+            "label_tag": label_t,
+            "image_tag": image_t,
+            "orient": orient_t,
+            "hole": hole_t,
         }
+        if label_ref_t is not None:
+            out["label_ref"] = label_ref_t
+        if image_ref_t is not None:
+            out["image_ref"] = image_ref_t
+        if orient_rgb_t is not None:
+            out["orient_rgb"] = orient_rgb_t.astype(np.float32, copy=False)
         # --device_noise moves the pyramid into the jitted transfer path
         # (train.py device_batch) — the loader then ships no noise at all.
         # getrandbits is this sample's LAST rng draw, so skipping it leaves

@@ -124,7 +124,7 @@ def pre_geometry(img: Image.Image, opt, method) -> Image.Image:
 
 def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
                   normalize: bool = True, color: bool = False,
-                  raw: bool = False):
+                  raw: bool = False, as_uint8: bool = False):
     """Returns PIL -> (H,W,C) float32 ndarray closure (base_dataset.py:420-454).
 
     color=True applies the full torchvision ColorJitter pipeline
@@ -152,6 +152,15 @@ def get_transform(opt, params: TransformSpec, method=Image.BICUBIC,
         if color:
             x = color_jitter(x, random)
 
+        if as_uint8:
+            # raw pixels, byte dtype: the uint8-wire loader ships these to
+            # the device untouched and the train step decodes in-program
+            # (train_step._f32) — no host float pass at all
+            # np.array, not asarray: PIL exposes a read-only buffer and
+            # callers mutate (label 255 remap); a u8 copy is 4x cheaper
+            # than the float pipeline it replaces
+            arr = np.array(x, dtype=np.uint8)
+            return arr[..., None] if arr.ndim == 2 else arr
         arr = np.asarray(x, dtype=np.float32)
         if arr.ndim == 2:
             arr = arr[..., None]

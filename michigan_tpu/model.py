@@ -152,6 +152,16 @@ class MichiGANModel:
 
     def preprocess(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         opt = self.opt
+        # uint8-wire images (dataset.py get_sample) reaching preprocess
+        # undecoded (e.g. the init path): apply the exact ToTensor+Normalize
+        # decode here; batches that came through train_step._f32 are
+        # already float and pass through untouched
+        batch = {
+            k: (v.astype(jnp.float32) / 127.5 - 1.0
+                if hasattr(v, "dtype") and v.dtype == jnp.uint8
+                and k in ("image_ref", "image_tag") else v)
+            for k, v in batch.items()
+        }
         nc = opt.label_nc + (1 if opt.contain_dontcare_label else 0)
         input_ref = one_hot_label(batch["label_ref"], nc)
         input_tag = one_hot_label(batch["label_tag"], nc)

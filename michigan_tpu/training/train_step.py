@@ -88,11 +88,21 @@ def make_train_steps(opt, mesh=None, ab_count=None, with_fused=False):
         return jax.lax.pmean(grads, axis)
 
     def _f32(batch):
-        """Upcast a compact device batch (bf16 images / u8 masks — the
-        train.py compact-transfer representation) INSIDE the program: the
-        casts fuse into consumers, so only the ~half-size compact batch
-        persists in HBM between steps.  fp32 batches pass through as-is."""
-        return {k: v.astype(jnp.float32) for k, v in batch.items()}
+        """Decode the compact device batch INSIDE the program (the casts
+        and scales fuse into consumers, so only the ~quarter-size wire
+        batch persists in HBM between steps).  The uint8 wire
+        (dataset.py get_sample / train.py device_batch) ships raw pixels:
+        images decode with the exact ToTensor+Normalize math
+        (v/127.5 - 1 == (v/255 - 0.5)/0.5 bitwise for uint8 v); labels /
+        orient / hole are value-preserving casts.  bf16 and fp32 entries
+        pass through as plain upcasts."""
+        out = {}
+        for k, v in batch.items():
+            if v.dtype == jnp.uint8 and k in ("image_ref", "image_tag"):
+                out[k] = v.astype(jnp.float32) / 127.5 - 1.0
+            else:
+                out[k] = v.astype(jnp.float32)
+        return out
 
     def make_g_step_local(curr_step):
         def g_step_local(state: TrainState, batch, rng, extra_dilate):

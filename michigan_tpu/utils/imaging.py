@@ -13,6 +13,8 @@ def tensor2im(x: np.ndarray, normalize: bool = True) -> np.ndarray:
     x = np.asarray(x)
     if x.ndim == 4:
         x = x[0]
+    if x.dtype == np.uint8:
+        return x  # uint8-wire images are already display pixels
     if normalize:
         x = (x + 1.0) / 2.0
     x = np.clip(x * 255.0, 0, 255)

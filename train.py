@@ -79,12 +79,15 @@ def main(argv=None):
     # compute policy that already produces the fake through bf16 convs.
     # --compact_transfer false restores untouched fp32 transfers; fp32
     # training always transfers untouched.
-    _BF16_KEYS = ("image_ref", "image_tag", "noise", "orient_rgb")
+    # the loader already emits uint8 for images/labels/orient/hole (the
+    # uint8 wire — dataset.py get_sample; train_step._f32 decodes
+    # in-program), so _compact only needs to shrink the float leftovers
+    _BF16_KEYS = ("noise", "orient_rgb")
     _U8_KEYS = ("label_ref", "label_tag", "hole")
     compact_transfer = opt.compact_transfer and opt.dtype == "bfloat16"
 
     def _compact(k, v):
-        if not compact_transfer:
+        if v.dtype == np.uint8 or not compact_transfer:
             return v
         if k in _U8_KEYS:
             return v.astype(np.uint8)
@@ -124,6 +127,31 @@ def main(argv=None):
         _noise_seed = np.uint32((opt.seed ^ 0x6E015E) & 0xFFFFFFFF)
         _noise_ctr = [0]  # bumped per batch; single producer (feeder thread)
 
+    # --device_orient_rgb: recompute the RGB orient encoding in-program
+    # from the shipped orient+label planes.  Bit-equal to the host path
+    # (preprocess.py trans_orient_to_rgb -> uint8 png -> ToTensor): the
+    # encoding is pointwise, so it commutes with NEAREST/crop/flip, and the
+    # uint8 quantisation (trunc) is replicated before the /255.
+    orient_rgb_fn = None
+    if (getattr(opt, "device_orient_rgb", False)
+            and opt.use_ig and not opt.no_orientation):
+        _ordt = jnp.bfloat16 if compact_transfer else jnp.float32
+
+        def _orient_rgb(orient_u8, label_u8):
+            t = orient_u8.astype(jnp.float32) / 255.0 * np.pi
+            m = label_u8.astype(jnp.float32)
+            r = (jnp.cos(2 * t) + 1.0) * 0.5
+            g = (jnp.sin(2 * t) + 1.0) * 0.5
+            b = jnp.full_like(r, 0.5)
+            rgb = jnp.concatenate([r, g, b], axis=-1) * m
+            q = jnp.floor(rgb * 255.0)  # np.uint8() truncation
+            return (q / 255.0 * m).astype(_ordt)
+
+        orient_rgb_fn = (
+            jax.jit(_orient_rgb, out_shardings=batch_sharding)
+            if batch_sharding is not None else jax.jit(_orient_rgb)
+        )
+
     def device_batch(data):
         """Host-local numpy -> global device array sharded over the mesh.
 
@@ -145,6 +173,15 @@ def main(argv=None):
         if noise_batch_fn is not None:
             out["noise"] = noise_batch_fn(_noise_seed, np.int32(_noise_ctr[0]))
             _noise_ctr[0] += 1
+        if orient_rgb_fn is not None and "orient_rgb" not in out:
+            out["orient_rgb"] = orient_rgb_fn(out["orient"], out["label_tag"])
+        # paired-stage dedup: the loader omits the ref planes when they are
+        # bit-equal to the tag planes (dataset.py get_sample) — alias the
+        # same device buffers instead of shipping them twice
+        if "label_ref" not in out:
+            out["label_ref"] = out["label_tag"]
+        if "image_ref" not in out:
+            out["image_ref"] = out["image_tag"]
         return out
 
     def prefetch_to_device(loader):
@@ -293,11 +330,16 @@ def main(argv=None):
                     stats, iter_counter.total_steps_so_far
                 )
             if iter_counter.needs_displaying() and fake is not None:
+                # ref planes may be deduped off the wire in the paired
+                # stage (dataset.py get_sample); tensor2im handles both
+                # uint8-wire and [-1,1] float images
                 visuals = {
-                    "input_ref": np.asarray(data["label_ref"][0]),
+                    "input_ref": np.asarray(
+                        data.get("label_ref", data["label_tag"])[0]),
                     "input_tag": np.asarray(data["label_tag"][0]),
                     "synthesized_image": np.asarray(fake[0]),
-                    "image_ref": np.asarray(data["image_ref"][0]),
+                    "image_ref": np.asarray(
+                        data.get("image_ref", data["image_tag"])[0]),
                     "image_tag": np.asarray(data["image_tag"][0]),
                 }
                 visualizer.display_current_results(
