@@ -216,6 +216,19 @@ def main():
         return
 
     if mode == "train":
+        # loader-inclusive wall-clock rate alongside the device rate — the
+        # reference's own throughput metric is wall-clock around the whole
+        # loop (util/iter_counter.py:42-50).  This spawns a full train.py
+        # subprocess, so it MUST run before this process initializes the
+        # (single-tenant) TPU backend.  Opt out with BENCH_WALL=0.
+        wall_rate = wall_steps = None
+        if os.environ.get("BENCH_WALL", "1") == "1" and size == 512:
+            try:
+                wall_rate, wall_steps = _run_train_wall(size, batch_size)
+            except Exception as e:  # noqa: BLE001 — wall rate is auxiliary
+                print(f"bench: wall-rate pass failed ({e}); device-only",
+                      file=sys.stderr)
+
         # fp32 512^2 bs8 training OOMs without remat (18.5G > 15.75G); bf16
         # fits and runs faster without it.  The fused one-program step's
         # coexisting G+D live ranges needed up_3 remat to fit in round 2;
@@ -283,6 +296,8 @@ def main():
                 "iters": iters,
                 "compiler_options":
                     os.environ.get("MICHIGAN_COMPILER_OPTIONS") or None,
+                "wall_img_per_s_loader_inclusive": wall_rate,
+                "wall_steps": wall_steps,
             },
         }))
         return
