@@ -71,3 +71,52 @@ def test_adjust_hue_moves_hue_channel_only():
     # value channel is preserved exactly; hue genuinely moves
     np.testing.assert_array_equal(a[..., 2], b[..., 2])
     assert (a[..., 0] != b[..., 0]).mean() > 0.5
+
+
+def test_soak_augment_rotation_keeps_orientation_consistent():
+    """make_soak_dataset's rotation augmentation must rotate the dense
+    orientation VALUES together with the pixels (encoding v in [0,255] ~
+    angle in [0,pi), base_dataset.py:363-385).  A synthetic field of
+    horizontal strands (angle 0) rotated by +30deg must read ~30deg inside
+    the rotated mask."""
+    import math
+
+    from scripts.make_soak_dataset import _rotate_triple
+
+    h = w = 64
+    img = np.full((h, w, 3), 128, np.uint8)
+    label = np.zeros((h, w), np.uint8)
+    label[16:48, 16:48] = 1
+    orient = np.zeros((h, w), np.uint8)
+    # horizontal strands: angle 0 -> encode a small nonzero value so the
+    # augmentation's support mask (orient>0 | label>0) is exercised both ways
+    orient[label > 0] = 4  # ~2.8deg
+
+    _, rlabel, rorient = _rotate_triple(img, label, orient, 30.0)
+    inner = np.zeros_like(rlabel)
+    inner[24:40, 24:40] = 1  # stay clear of nearest-neighbor edges
+    m = (rlabel > 0) & (inner > 0)
+    assert m.sum() > 50
+    ang = rorient[m].astype(np.float64) / 255.0 * math.pi * 180.0 / math.pi
+    expected = 4 / 255.0 * 180.0 + 30.0
+    assert abs(np.median(ang) - expected) < 1.5
+
+    # the synthetic orient support coincides with the label; both rotate
+    # nearest-neighbor, so outside the rotated label the map stays zero
+    assert (rorient[rlabel == 0] == 0).all()
+
+
+def test_soak_augment_rotation_wraps_mod_pi():
+    """Angle values wrap mod pi: 170deg-equivalent + 30deg -> ~20deg."""
+    import math
+
+    from scripts.make_soak_dataset import _rotate_triple
+
+    h = w = 64
+    img = np.full((h, w, 3), 128, np.uint8)
+    label = np.ones((h, w), np.uint8)
+    v170 = int(round(170.0 / 180.0 * 255.0))
+    orient = np.full((h, w), v170, np.uint8)
+    _, _, rorient = _rotate_triple(img, label, orient, 30.0)
+    center = rorient[24:40, 24:40].astype(np.float64) / 255.0 * 180.0
+    assert abs(np.median(center) - 20.0) < 1.5
