@@ -143,17 +143,25 @@ class DemoEngine:
         from michigan_tpu.utils.imaging import crop_feat_pad, tensor2im
 
         jnp = self._jnp
+        t_start = time.perf_counter()
         data = demo_inference_data(
             self.opt, ref_label_path, tag_label, mask_orient, ref_orient,
             ref_image, tag_image, orient_stroke, mask_stroke, mask_hole,
         )
+        t_host = time.perf_counter()
         batch = {
             k: jnp.asarray(v) for k, v in data.items()
             if isinstance(v, np.ndarray) and v.ndim >= 3
         }
+        t_h2d = time.perf_counter()
         infer = self._get_infer(inpaint_mode)
         t0 = time.time()
         out, orient_rgb = infer(self.variables, batch)
+        # tiny-scalar fetch = completion sync that moves 4 bytes, so device
+        # compute separates from the full-image D2H below (block_until_ready
+        # does not block through the axon relay — PERF.md)
+        float(out[0, 0, 0, 0])
+        t_compute = time.perf_counter()
         out = np.asarray(out)
         latency = time.time() - t0
         print(f"inference time: {latency:.3f}s")
@@ -164,4 +172,17 @@ class DemoEngine:
         orient_out = None
         if orient_rgb is not None:
             orient_out = np.uint8(np.asarray(orient_rgb)[0] * 255)
+        t_end = time.perf_counter()
+        # per-phase wall breakdown of the whole edit (demo.py:363-366 only
+        # times the forward); host_prep = rasterize/transform/dict build,
+        # h2d_submit = input conversion+transfer enqueue, device_compute =
+        # dispatch+forward to the 4-byte sync, d2h_decode = image fetch +
+        # uint8 conversion/crop
+        self.last_timings = {
+            "host_prep_s": t_host - t_start,
+            "h2d_submit_s": t_h2d - t_host,
+            "device_compute_s": t_compute - t_h2d,
+            "d2h_decode_s": t_end - t_compute,
+            "total_s": t_end - t_start,
+        }
         return img, orient_out, latency

@@ -1,0 +1,99 @@
+"""Interactive-edit latency breakdown on the real TPU.
+
+Drives DemoEngine.edit N times per mode (ref-inpaint and stroke-inpaint,
+demo.py:310-413 semantics) at the released-demo config and reports the
+median per-phase wall breakdown collected by the engine:
+host prep (rasterize/transform) / H2D submit / device compute (to a 4-byte
+sync — the relay does not honor block_until_ready) / D2H + uint8 decode.
+
+Usage:
+  python scripts/demo_latency.py --out artifacts/demo_latency_r4.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    from PIL import Image
+
+    from demo import _load_demo_sample
+    from michigan_tpu.config import demo_config
+    from michigan_tpu.demo.engine import (
+        DemoEngine, dilate_hole, stroke_to_orient,
+    )
+
+    opt = demo_config()
+    demo_dir = "datasets/FFHQ_demo"
+    tag_img, tag_label, tag_orient, _ = _load_demo_sample(demo_dir, "67172")
+    ref_img, _ref_label, _ref_orient, _ = _load_demo_sample(demo_dir, "60429")
+    ref_label_path = os.path.join(demo_dir, "labels", "60429.png")
+
+    engine = DemoEngine(opt, precompile=True)
+
+    # stroke-mode inputs (same synthesis as demo.py --stroke)
+    stroke = np.zeros_like(tag_label, dtype=np.uint8)
+    ys, xs = np.nonzero(tag_label)
+    cy, cx = int(ys.mean()), int(xs.mean())
+    for d in range(-60, 60):
+        y, x = cy + d, cx + d // 2
+        if 0 <= y < stroke.shape[0] and 0 <= x < stroke.shape[1]:
+            stroke[y, max(x - 3, 0) : x + 3] = 1
+    stroke = stroke * tag_label
+    hole = dilate_hole(stroke, 50) * tag_label
+    orient_stroke = stroke_to_orient(stroke)
+
+    def run(mode):
+        rows = []
+        for i in range(args.warmup + args.iters):
+            if mode == "ref":
+                engine.edit(
+                    ref_label_path, tag_label, tag_label, tag_orient,
+                    ref_img, tag_img, inpaint_mode="ref",
+                )
+            else:
+                engine.edit(
+                    ref_label_path, tag_label, tag_label * (1 - hole),
+                    tag_orient, ref_img, tag_img,
+                    orient_stroke=orient_stroke, mask_stroke=stroke,
+                    mask_hole=hole, inpaint_mode="stroke",
+                )
+            if i >= args.warmup:
+                rows.append(dict(engine.last_timings))
+        keys = rows[0].keys()
+        return {k: float(np.median([r[k] for r in rows])) for k in keys}
+
+    report = {
+        "config": "released-demo (demo_options.py:12-31 analog)",
+        "iters": args.iters,
+        "modes": {m: run(m) for m in ("ref", "stroke")},
+    }
+    for m, t in report["modes"].items():
+        print(
+            f"{m}: total {t['total_s'] * 1e3:.1f} ms = host "
+            f"{t['host_prep_s'] * 1e3:.1f} + h2d {t['h2d_submit_s'] * 1e3:.1f}"
+            f" + compute {t['device_compute_s'] * 1e3:.1f} + d2h/decode "
+            f"{t['d2h_decode_s'] * 1e3:.1f}"
+        )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
