@@ -296,6 +296,12 @@ class Options:
     # 255->label_nc-remapped label where the host path masks with the raw
     # label (identical for 0/1 hair labels)
     device_orient_rgb: bool = False
+    # checkpoint + exec-restart the training process when host RSS crosses
+    # this many GiB (0 = off).  The axon TPU relay's PJRT client leaks its
+    # H2D staging buffer on EVERY transfer (~wire-bytes/step, measured in
+    # PERF.md), so unbounded runs die by host OOM; segmenting through the
+    # --continue_train path bounds RSS with a once-per-segment recompile.
+    rss_restart_gb: float = 0.0
     # stop training after this many optimizer steps (0 = run the full
     # niter/niter_decay schedule) — bounded soaks and wall-clock benches
     max_steps: int = 0

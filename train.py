@@ -17,6 +17,18 @@ import time
 import numpy as np
 
 
+def _vm_rss_gb() -> float:
+    """Current process resident set size in GiB (Linux /proc)."""
+    try:
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -387,6 +399,26 @@ def main(argv=None):
             )
             CK.save_checkpoint(opt, "latest", state)
             CK.save_checkpoint(opt, epoch, state)
+
+        if opt.rss_restart_gb > 0 and _vm_rss_gb() >= opt.rss_restart_gb:
+            # the axon relay leaks every H2D staging buffer (PERF.md):
+            # checkpoint, persist the epoch boundary, and exec-restart this
+            # process through the --continue_train path so host RSS resets
+            print(
+                f"host RSS {_vm_rss_gb():.1f} GiB >= --rss_restart_gb "
+                f"{opt.rss_restart_gb:g}: checkpointing and re-exec'ing "
+                "to shed leaked H2D staging buffers"
+            )
+            CK.save_checkpoint(opt, "latest", state)
+            iter_counter.current_epoch = epoch + 1
+            iter_counter.epoch_iter = 0
+            iter_counter.record_current_iter()
+            argv = [sys.executable] + sys.argv
+            if "--continue_train" not in argv:
+                argv.append("--continue_train")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, argv)
 
     print("Training was successfully finished.")
 
