@@ -26,4 +26,4 @@ exec python train.py --name soak_r4 --checkpoints_dir "$CK" --data_dir "$DS" \
   --niter 2000 --max_steps "$STEPS" \
   --nThreads 8 --device_prefetch 2 --decode_cache_mb 640 --device_noise \
   --print_freq 400 --display_freq 8000 --save_latest_freq 100000000 \
-  --save_epoch_freq 15 --seed 0
+  --save_epoch_freq 15 --seed 0 --rss_restart_gb 80
