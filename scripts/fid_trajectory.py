@@ -72,7 +72,7 @@ def main(argv=None):
         batchSize=args.batchSize,
         checkpoints_dir=args.checkpoints_dir,
         data_dir=args.data_dir,
-        subset="val_",
+        subset="val",
     )
 
     names = sorted(
