@@ -242,9 +242,15 @@ def main(argv=None):
     variables = jax.jit(model.init_variables)(rng, batch0)
     if opt.unpairTrain and opt.same_netD_model and "netD2" in variables:
         # initialize netD2 from netD (reference --same_netD_model,
-        # train_options.py:40 / util.load_network D2 logic)
+        # train_options.py:40 / util.load_network D2 logic).  The copy must
+        # MATERIALIZE new device buffers (a + 0): the train step donates the
+        # state, and donating the same buffer through two aliased leaves is
+        # a TPU-backend InvalidArgument (CPU ignores donation, so tests
+        # never saw it)
         variables = dict(variables)
-        variables["netD2"] = jax.tree_util.tree_map(lambda a: a, variables["netD"])
+        variables["netD2"] = jax.tree_util.tree_map(
+            lambda a: a + 0, variables["netD"]
+        )
     state = TrainState.create(opt, variables)
     if opt.continue_train:
         restored = CK.restore_train_state(opt, opt.which_epoch, state)
