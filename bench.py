@@ -156,6 +156,7 @@ def _run_train_wall(size, batch_size):
         "--checkpoints_dir", ck, "--data_dir", ds,
         "--batchSize", str(batch_size), "--crop_size", str(size),
         "--load_size", str(size + 56), "--niter", "1",
+        "--dtype", "bfloat16", "--fused_step",
         "--max_steps", str(steps + 1),
         "--nThreads", "8", "--device_prefetch", "2",
         "--decode_cache_mb", "512", "--device_noise",
@@ -188,7 +189,10 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     size = int(os.environ.get("BENCH_SIZE", "512"))
     # BENCH_SIZE=1024 measures the 'most' stretch resolution (bs4 default)
-    default_bs = "8" if mode == "train" else ("4" if size >= 1024 else "32")
+    default_bs = (
+        "8" if mode in ("train", "train_wall")
+        else ("4" if size >= 1024 else "32")
+    )
     batch_size = int(os.environ.get("BENCH_BATCH", default_bs))
     from michigan_tpu.config import Options
     iters = int(os.environ.get("BENCH_ITERS", str(Options().bench_iters)))
