@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -58,6 +59,22 @@ def make_optimizers(opt):
     opt_g = optax.inject_hyperparams(optax.adam)(learning_rate=g_lr, b1=b1, b2=b2)
     opt_d = optax.inject_hyperparams(optax.adam)(learning_rate=d_lr, b1=b1, b2=b2)
     return opt_g, opt_d
+
+
+def init_netd2_from_netd(variables):
+    """--same_netD_model: start netD2 as a copy of netD (reference
+    train_options.py:40 / util.load_network D2 logic).
+
+    The copy MATERIALIZES fresh device buffers (a + 0): a structural copy
+    that aliases netD's arrays puts the same buffer under two leaves of
+    the donated train-step state, which the TPU backend rejects with
+    InvalidArgument (donation is a no-op on CPU, so only device runs see
+    it)."""
+    variables = dict(variables)
+    variables["netD2"] = jax.tree_util.tree_map(
+        lambda a: a + 0, variables["netD"]
+    )
+    return variables
 
 
 class TrainState(struct.PyTreeNode):

@@ -301,3 +301,25 @@ def test_diagnostics_stream():
         assert np.isfinite(float(v)), f"{k} not finite"
     assert float(diag["pnorm_netG"]) > 0
     assert float(diag["sn_sigma_max_netD"]) >= float(diag["sn_sigma_mean_netD"])
+
+
+def test_netd2_copy_materializes_fresh_buffers():
+    """--same_netD_model must COPY netD, not alias it: aliased leaves put
+    one buffer under two donated state leaves, which the TPU backend
+    rejects with InvalidArgument (donation is ignored on CPU, so this
+    asserts buffer identity directly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.training.state import init_netd2_from_netd
+
+    variables = {
+        "netD": {"params": {"w": jnp.arange(8.0), "b": jnp.zeros((4, 4))}},
+    }
+    out = init_netd2_from_netd(variables)
+    leaves_d = jax.tree_util.tree_leaves(out["netD"])
+    leaves_d2 = jax.tree_util.tree_leaves(out["netD2"])
+    assert len(leaves_d) == len(leaves_d2)
+    for a, b in zip(leaves_d, leaves_d2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert a.unsafe_buffer_pointer() != b.unsafe_buffer_pointer()

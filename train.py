@@ -39,7 +39,7 @@ def main(argv=None):
     from michigan_tpu.model import MichiGANModel
     from michigan_tpu.parallel.mesh import make_mesh
     from michigan_tpu.training import checkpoint as CK
-    from michigan_tpu.training.state import TrainState
+    from michigan_tpu.training.state import TrainState, init_netd2_from_netd
     from michigan_tpu.training.train_step import make_train_steps
     from michigan_tpu.utils.iter_counter import IterationCounter
     from michigan_tpu.utils.visualizer import Visualizer
@@ -241,16 +241,7 @@ def main(argv=None):
     # through the remote-TPU relay (same reason bench.py jits it)
     variables = jax.jit(model.init_variables)(rng, batch0)
     if opt.unpairTrain and opt.same_netD_model and "netD2" in variables:
-        # initialize netD2 from netD (reference --same_netD_model,
-        # train_options.py:40 / util.load_network D2 logic).  The copy must
-        # MATERIALIZE new device buffers (a + 0): the train step donates the
-        # state, and donating the same buffer through two aliased leaves is
-        # a TPU-backend InvalidArgument (CPU ignores donation, so tests
-        # never saw it)
-        variables = dict(variables)
-        variables["netD2"] = jax.tree_util.tree_map(
-            lambda a: a + 0, variables["netD"]
-        )
+        variables = init_netd2_from_netd(variables)
     state = TrainState.create(opt, variables)
     if opt.continue_train:
         restored = CK.restore_train_state(opt, opt.which_epoch, state)
