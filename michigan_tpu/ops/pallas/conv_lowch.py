@@ -27,6 +27,15 @@ Used for inference-path (frozen-tower) convs only — no VJP is defined;
 training paths keep the XLA conv.  Falls back to XLA for shapes that
 don't divide the tile or don't fit residency.
 
+MEASURED OUTCOME (round-4 TPU A/B, PERF.md "low-channel conv kernel"):
+both strategies LOSE to XLA at the target shapes (im2col 8.0 ms /
+9-tap 8.3 ms vs XLA 5.6 ms at bs32 256² 64→64; 6.8 / 7.2 vs 6.0 at
+64→128) — the HBM re-reads the kernel eliminates are replaced by
+in-kernel VPU relayout traffic for the 9 shifted taps, and Co=64
+leaves half the MXU lanes idle.  Kept in-tree, parity-tested (im2col
+matches the XLA conv bit-for-bit on TPU), as the measured record that
+closes the "custom conv" lever from the round-3 gap analysis.
+
 Reference op: torch F.conv2d inside the reference's InpaintGenerator
 encoder stack (/root/reference/models/networks/generator.py:472-520 class
 usage; conv shapes from models/inpaint.py here).
@@ -51,7 +60,7 @@ def _xla_reference(x, w):
     )
 
 
-def _kernel(x_ref, w_ref, y_ref, *, H, W, C, TH, im2col):
+def _kernel(x_ref, w_ref, y_ref, scratch, *, H, W, C, TH, im2col):
     def body(t, _):
         r0 = t * TH
         taps = []
@@ -60,7 +69,14 @@ def _kernel(x_ref, w_ref, y_ref, *, H, W, C, TH, im2col):
             for kx in range(3):
                 taps.append(rows[:, kx:kx + W, :])  # (TH, W, C)
         if im2col:
-            a = jnp.concatenate(taps, axis=-1).reshape(TH * W, 9 * C)
+            # a direct lane-concatenate of the 9 shifted slices does not
+            # compile (Mosaic: "result/input offset mismatch on non-concat
+            # dimension" — the kx shifts leave mismatched vector offsets);
+            # staging each tap through VMEM scratch normalizes the layouts
+            # and matches the XLA conv bit-for-bit on TPU
+            for i, tap in enumerate(taps):
+                scratch[:, :, pl.ds(i * C, C)] = tap
+            a = scratch[...].reshape(TH * W, 9 * C)
             acc = jax.lax.dot_general(
                 a, w_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -113,8 +129,9 @@ def conv3x3_same_lowch(x, w, *, tile_rows: int = 16, im2col: bool = True):
         ],
         out_specs=pl.BlockSpec((1, h, wd, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th, wd, 9 * c), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(xp, w2)
