@@ -18,11 +18,10 @@ class IterationCounter:
         self.iter_record_path = os.path.join(
             opt.checkpoints_dir, opt.name, "iter.txt"
         )
+        self.total_steps_so_far = None
         if opt.isTrain and opt.continue_train:
             try:
-                self.first_epoch, self.epoch_iter = np.loadtxt(
-                    self.iter_record_path, delimiter=",", dtype=int
-                )
+                self._load_record()
                 print(
                     f"Resuming from epoch {self.first_epoch} "
                     f"at iteration {self.epoch_iter}"
@@ -32,12 +31,31 @@ class IterationCounter:
                     f"Could not load iteration record at {self.iter_record_path}."
                     " Starting from beginning."
                 )
-        self.total_steps_so_far = (
-            (self.first_epoch - 1) * dataset_size + self.epoch_iter
-        )
+        if self.total_steps_so_far is None:
+            self.total_steps_so_far = (
+                (self.first_epoch - 1) * self._steps_per_epoch() + self.epoch_iter
+            )
         self.time_per_iter = 0.0
         self.last_iter_time = time.time()
         self.epoch_start_time = time.time()
+
+    def _steps_per_epoch(self) -> int:
+        """Image-steps per epoch: --unpairTrain epochs run two passes
+        (dataloader2 then dataloader — train.py run_epoch), so legacy
+        2-column iter.txt reconstruction must count both."""
+        two_pass = getattr(self.opt, "unpairTrain", False)
+        return self.dataset_size * (2 if two_pass else 1)
+
+    def _load_record(self):
+        """Read iter.txt: 3-column (epoch, epoch_iter, total_steps) written
+        by this class, or the legacy/reference 2-column format
+        (util/iter_counter.py:24-33) with total_steps reconstructed."""
+        rec = np.atleast_1d(
+            np.loadtxt(self.iter_record_path, delimiter=",", dtype=int)
+        )
+        self.first_epoch, self.epoch_iter = int(rec[0]), int(rec[1])
+        if rec.size >= 3:
+            self.total_steps_so_far = int(rec[2])
 
     def training_epochs(self):
         return range(self.first_epoch, self.total_epochs + 1)
@@ -66,7 +84,7 @@ class IterationCounter:
         os.makedirs(os.path.dirname(self.iter_record_path), exist_ok=True)
         np.savetxt(
             self.iter_record_path,
-            (self.current_epoch, self.epoch_iter),
+            (self.current_epoch, self.epoch_iter, self.total_steps_so_far),
             delimiter=",", fmt="%d",
         )
 
@@ -85,17 +103,6 @@ class IterationCounter:
 
 class IterationCounterMS(IterationCounter):
     """Variant persisting total_steps_so_far for progressive/multiscale
-    training (reference util/iter_counter_ms.py:12-73)."""
-
-    def record_current_iter(self):
-        os.makedirs(os.path.dirname(self.iter_record_path), exist_ok=True)
-        np.savetxt(
-            self.iter_record_path,
-            (self.current_epoch, self.epoch_iter, self.total_steps_so_far),
-            delimiter=",", fmt="%d",
-        )
-
-    def _load_record(self):
-        self.first_epoch, self.epoch_iter, self.total_steps_so_far = np.loadtxt(
-            self.iter_record_path, delimiter=",", dtype=int
-        )
+    training (reference util/iter_counter_ms.py:12-73).  The base class now
+    persists/restores the 3-column record itself, so this is an alias kept
+    for API parity."""

@@ -68,7 +68,10 @@ def _rotate_triple(img, label, orient, deg):
         rorient.astype(np.float32) / 255.0 * math.pi + deg * math.pi / 180.0,
         math.pi,
     )
-    rorient = np.where(shift_mask, np.uint8(ang * 255.0 / math.pi), 0)
+    # round to the nearest code (truncation would bias every value ~0.35deg
+    # low); 255 encodes pi which is congruent to 0, so wrap it there
+    q = np.round(ang * (255.0 / math.pi)).astype(np.int32) % 255
+    rorient = np.where(shift_mask, q, 0)
     return rimg, rlabel, rorient.astype(np.uint8)
 
 

@@ -80,6 +80,38 @@ def test_iteration_counter_triggers_and_resume(tmp_path):
                    continue_train=True).finalize()
     ic2 = IterationCounter(opt2, dataset_size=16)
     assert ic2.first_epoch == 1 and ic2.epoch_iter == 16
+    # the 3-column record restores the exact total, not a reconstruction
+    assert ic2.total_steps_so_far == 16
+
+
+def test_iteration_counter_unpair_resume(tmp_path):
+    """--unpairTrain epochs run TWO dataset passes (train.py run_epoch is
+    called for dataloader2 then dataloader), so resume must not reconstruct
+    total_steps_so_far as (epoch-1)*dataset_size.  Covers both the exact
+    3-column restore and the legacy 2-column fallback."""
+    opt = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="up",
+                  batchSize=4, niter=2, niter_decay=0,
+                  unpairTrain=True).finalize()
+    ic = IterationCounter(opt, dataset_size=16)
+    ic.record_epoch_start(1)
+    for _ in range(8):  # two full 16-image passes at batch 4
+        ic.record_one_iteration()
+    assert ic.total_steps_so_far == 32
+    ic.current_epoch = 2
+    ic.epoch_iter = 0
+    ic.record_current_iter()
+
+    opt2 = Options(isTrain=True, checkpoints_dir=str(tmp_path), name="up",
+                   batchSize=4, niter=2, niter_decay=0, unpairTrain=True,
+                   continue_train=True).finalize()
+    ic2 = IterationCounter(opt2, dataset_size=16)
+    assert ic2.total_steps_so_far == 32  # exact value from iter.txt
+
+    # legacy 2-column file (reference format): unpair-aware reconstruction
+    with open(ic.iter_record_path, "w") as f:
+        f.write("2\n0\n")
+    ic3 = IterationCounter(opt2, dataset_size=16)
+    assert ic3.total_steps_so_far == 32  # (2-1) * 2*16, not (2-1)*16
 
 
 def test_imaging_helpers():

@@ -397,12 +397,13 @@ def main(argv=None):
             CK.save_checkpoint(opt, "latest", state)
             CK.save_checkpoint(opt, epoch, state)
 
-        if opt.rss_restart_gb > 0 and _vm_rss_gb() >= opt.rss_restart_gb:
+        rss_gb = _vm_rss_gb() if opt.rss_restart_gb > 0 else 0.0
+        if opt.rss_restart_gb > 0 and rss_gb >= opt.rss_restart_gb:
             # the axon relay leaks every H2D staging buffer (PERF.md):
             # checkpoint, persist the epoch boundary, and exec-restart this
             # process through the --continue_train path so host RSS resets
             print(
-                f"host RSS {_vm_rss_gb():.1f} GiB >= --rss_restart_gb "
+                f"host RSS {rss_gb:.1f} GiB >= --rss_restart_gb "
                 f"{opt.rss_restart_gb:g}: checkpointing and re-exec'ing "
                 "to shed leaked H2D staging buffers"
             )
