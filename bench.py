@@ -283,14 +283,11 @@ def main():
 
         metric = "%dpx_train_step_throughput_bs%d" % (size, batch_size)
         f, r, rb = used
-        print(json.dumps({
-            "metric": metric,
-            "value": round(imgs_per_sec, 3),
-            "unit": "images/sec/chip",
-            "vs_baseline": _vs_baseline(metric, imgs_per_sec),
+        print(json.dumps(train_bench_record(
+            metric, imgs_per_sec, _vs_baseline(metric, imgs_per_sec),
             # self-describing run config: a fallback-ladder step-down can
             # never masquerade as the config of record (ladder_position 0)
-            "config": {
+            {
                 "dtype": dtype, "fused_step": f, "remat": r,
                 "remat_blocks": rb, "ladder_position": ladder_pos,
                 "reuse_fake_for_d": opt.reuse_fake_for_d,
@@ -303,7 +300,7 @@ def main():
                 "wall_img_per_s_loader_inclusive": wall_rate,
                 "wall_steps": wall_steps,
             },
-        }))
+        )))
         return
 
     opt = _make_opt(mode, size, batch_size, dtype, False, False, "all")
@@ -343,6 +340,25 @@ def main():
                 os.environ.get("MICHIGAN_COMPILER_OPTIONS") or None,
         },
     }))
+
+
+def train_bench_record(metric, value, vs_baseline, config):
+    """The driver-consumed JSON line for the training benchmark.  Pinned by
+    tests/test_bench_schema.py: the record must always carry BOTH numbers —
+    the device rate ("value") and the reference-semantics loader-inclusive
+    wall rate (config.wall_img_per_s_loader_inclusive, the metric the
+    reference itself reports: util/iter_counter.py:42-50) — so a refactor
+    cannot silently drop either."""
+    required = ("wall_img_per_s_loader_inclusive", "wall_steps")
+    missing = [k for k in required if k not in config]
+    assert not missing, f"bench config record missing {missing}"
+    return {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+        "config": config,
+    }
 
 
 def _vs_baseline(metric, value):

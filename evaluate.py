@@ -75,6 +75,42 @@ def _vgg_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
     return np.concatenate(chunks) if chunks else np.zeros((0, 512), np.float32)
 
 
+def _inception_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
+    """Standard FID extractor: InceptionV3 pool3, 2048-d.  Falls back to a
+    kaiming-random backbone with a loud warning (models/inception.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from michigan_tpu.models.inception import (
+        FEATURE_DIM, inception_features, load_inception_params,
+    )
+
+    params, pretrained = load_inception_params(
+        jax.random.PRNGKey(0), context="evaluate.py FID"
+    )
+    if not pretrained:
+        print(
+            "WARNING: FID is computed on a RANDOM InceptionV3 backbone — the "
+            "numbers are NOT comparable to published FID. Provide inception "
+            "weights (see michigan_tpu/models/inception.py)."
+        )
+    feats = jax.jit(lambda x: inception_features(params, x))
+    chunks = []
+    for i in range(0, len(images), batch):
+        chunks.append(np.asarray(feats(jnp.asarray(images[i : i + batch]))))
+    return (np.concatenate(chunks) if chunks
+            else np.zeros((0, FEATURE_DIM), np.float32))
+
+
+def extract_features(images: np.ndarray, extractor: str = "vgg",
+                     batch: int = 8) -> np.ndarray:
+    if extractor == "inception":
+        return _inception_features(images, batch)
+    if extractor == "vgg":
+        return _vgg_features(images, batch)
+    raise ValueError(f"unknown FID extractor {extractor!r}")
+
+
 def frechet_distance(f1: np.ndarray, f2: np.ndarray, eps: float = 1e-6) -> float:
     from scipy import linalg
 
@@ -103,6 +139,7 @@ def main(argv=None):
     p2.add_argument("--real_dir", required=True)
     p2.add_argument("--fake_dir", required=True)
     p2.add_argument("--val_list", default=None)
+    p2.add_argument("--extractor", default="vgg", choices=["vgg", "inception"])
     args = parser.parse_args(argv)
 
     if args.cmd == "psnr":
@@ -118,8 +155,13 @@ def main(argv=None):
     real = _load_images(args.real_dir, names)
     fake = _load_images(args.fake_dir, names)
     assert len(real) and len(fake), "no images found"
-    fid = frechet_distance(_vgg_features(real), _vgg_features(fake))
-    print(f"FID (VGG-feature variant): {fid:.3f} over {len(real)}/{len(fake)} images")
+    fid = frechet_distance(
+        extract_features(real, args.extractor),
+        extract_features(fake, args.extractor),
+    )
+    tag = ("InceptionV3-pool3" if args.extractor == "inception"
+           else "VGG-feature variant")
+    print(f"FID ({tag}): {fid:.3f} over {len(real)}/{len(fake)} images")
     return fid
 
 

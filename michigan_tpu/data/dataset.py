@@ -247,7 +247,10 @@ class CustomDataset:
                 rgb = make_rgb()
             orient_rgb_t = tl(rgb) * label_t
         else:
-            orient_rgb_t = np.zeros(image_t.shape, np.float32)
+            # without the IG tower nothing in the train step reads
+            # orient_rgb (model.py: every consumer is behind opt.use_ig) —
+            # shipping 3 channels of zeros per sample only burned H2D
+            orient_rgb_t = None
 
         if opt.use_ig:
             idx_o = rng.randint(0, len(self) - 1)
@@ -255,14 +258,15 @@ class CustomDataset:
             hole = generate_hole(np.array(label), orient_mask, rng)
             hole_t = tru(hole)
         else:
-            hole_t = np.zeros_like(label_t)
+            hole_t = None  # same: the hole only feeds the IG composite
 
         out = {
             "label_tag": label_t,
             "image_tag": image_t,
             "orient": orient_t,
-            "hole": hole_t,
         }
+        if hole_t is not None:
+            out["hole"] = hole_t
         if label_ref_t is not None:
             out["label_ref"] = label_ref_t
         if image_ref_t is not None:

@@ -111,8 +111,14 @@ def demo_inference_data(
     orient_stroke: Optional[np.ndarray] = None,
     mask_stroke: Optional[np.ndarray] = None,
     mask_hole: Optional[np.ndarray] = None,
+    noise: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
-    """Reference demo_inference_dataLoad (base_dataset.py:162-276)."""
+    """Reference demo_inference_dataLoad (base_dataset.py:162-276).
+
+    `noise` lets interactive callers (demo/engine.py) reuse one seeded
+    pyramid across edits — it is a pure function of (--seed, crop_size), so
+    recomputing it per edit only burned the host-prep budget (the pyramid is
+    the hottest per-sample host op, PERF.md input-pipeline section)."""
     label_ref = Image.open(ref_label_path)
     label_tag = Image.fromarray(np.uint8(tag_label))
     orient_mask = Image.fromarray(np.uint8(mask_orient))
@@ -149,11 +155,12 @@ def demo_inference_data(
     else:
         mask_stroke_t = np.zeros_like(label_tag_t)
 
-    # seeded from --seed: makes CLI inference reproducible (the
-    # reference draws from the global numpy RNG, base_dataset.py:387-396)
-    noise = generate_noise(
-        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
-    )[None]
+    if noise is None:
+        # seeded from --seed: makes CLI inference reproducible (the
+        # reference draws from the global numpy RNG, base_dataset.py:387-396)
+        noise = generate_noise(
+            opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+        )[None]
     ti = get_transform(opt, params, color=opt.color_jitter)
     image_ref_t = ti(ref_image.convert("RGB"))[None]
     image_tag_t = get_transform(opt, params)(tag_image.convert("RGB"))[None]

@@ -233,6 +233,30 @@ def convert_vgg19(features_state: Mapping[str, Any]) -> Dict[str, Dict]:
     return rw.variables()
 
 
+def convert_inception_v3(state: Mapping[str, Any]) -> Dict[str, Dict]:
+    """torchvision inception_v3 state_dict -> the flat params dict consumed
+    by models/inception.inception_features.  Geometry is validated against
+    INCEPTION_SPEC so a truncated/mismatched checkpoint fails loudly."""
+    from michigan_tpu.models.inception import INCEPTION_SPEC
+
+    state = _strip_module_prefix(dict(state))
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, (i, o, (kh, kw), _s, _p) in INCEPTION_SPEC.items():
+        w = conv_w(state[f"{name}.conv.weight"])
+        if w.shape != (kh, kw, i, o):
+            raise ValueError(
+                f"{name}: checkpoint kernel {w.shape} != spec {(kh, kw, i, o)}"
+            )
+        params[name] = {
+            "kernel": w,
+            "bn_scale": _to_np(state[f"{name}.bn.weight"]),
+            "bn_bias": _to_np(state[f"{name}.bn.bias"]),
+            "bn_mean": _to_np(state[f"{name}.bn.running_mean"]),
+            "bn_var": _to_np(state[f"{name}.bn.running_var"]),
+        }
+    return params
+
+
 def load_pth(path: str, key: str | None = None):
     """torch.load a checkpoint on CPU (util/util.py:245-272 reads IG/SIG
     payloads from data['generator'])."""
@@ -249,13 +273,18 @@ def _main(argv=None):
 
     VGG19:  python -m michigan_tpu.training.convert \
                 --vgg vgg19-dcbb9e9d.pth --out checkpoints/vgg19.npz
-    The output .npz is auto-discovered by training/evaluate
-    (models/vgg.find_vgg19_weights).
+    InceptionV3 (for literature-comparable FID):
+            python -m michigan_tpu.training.convert \
+                --inception inception_v3_google-0cc3c7bd.pth \
+                --out checkpoints/inception_v3.npz
+    The outputs are auto-discovered by training/evaluate
+    (models/vgg.find_vgg19_weights, models/inception.find_inception_weights).
     """
     import argparse
 
     p = argparse.ArgumentParser(description=_main.__doc__)
     p.add_argument("--vgg", help="torchvision vgg19 .pth (full model or .features)")
+    p.add_argument("--inception", help="torchvision inception_v3 .pth")
     p.add_argument("--out", required=True, help="output .npz path")
     args = p.parse_args(argv)
 
@@ -272,8 +301,15 @@ def _main(argv=None):
         n = sum(np.asarray(v).size for v in variables["params"].values()
                 for v in v.values())
         print(f"wrote {args.out} ({n / 1e6:.1f}M params)")
+    elif args.inception:
+        from michigan_tpu.models.inception import save_inception_npz
+
+        params = convert_inception_v3(load_pth(args.inception))
+        save_inception_npz(params, args.out)
+        n = sum(v.size for pr in params.values() for v in pr.values())
+        print(f"wrote {args.out} ({n / 1e6:.1f}M params)")
     else:
-        p.error("nothing to convert (pass --vgg)")
+        p.error("nothing to convert (pass --vgg or --inception)")
 
 
 if __name__ == "__main__":

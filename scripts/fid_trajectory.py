@@ -49,6 +49,12 @@ def main(argv=None):
                     help="also score the random-init model (epoch 0 anchor)")
     ap.add_argument("--save_fakes_dir", default=None,
                     help="keep the rendered fakes of the LAST epoch here")
+    ap.add_argument("--extractor", default="vgg", choices=["vgg", "inception"],
+                    help="FID feature backbone (evaluate.extract_features)")
+    ap.add_argument("--subset", default="val",
+                    help="dataset subset prefix to score: 'val' (train-side "
+                    "variants) or 'heldout' (never-trained variants from "
+                    "make_soak_dataset --augment holdout split)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,12 +78,12 @@ def main(argv=None):
         batchSize=args.batchSize,
         checkpoints_dir=args.checkpoints_dir,
         data_dir=args.data_dir,
-        subset="val",
+        subset=args.subset,
     )
 
     names = sorted(
         os.path.splitext(f)[0]
-        for f in os.listdir(os.path.join(args.data_dir, "val_images"))
+        for f in os.listdir(os.path.join(args.data_dir, f"{args.subset}_images"))
     )
     print(f"{len(names)} val samples; epochs: ", end="")
     tags = _epoch_tags(run_dir)
@@ -129,8 +135,10 @@ def main(argv=None):
         return imgs
 
     # real-feature side once
-    real = EV._load_images(os.path.join(args.data_dir, "val_images"), names)
-    real_feats = EV._vgg_features(real)
+    real = EV._load_images(
+        os.path.join(args.data_dir, f"{args.subset}_images"), names
+    )
+    real_feats = EV.extract_features(real, args.extractor)
 
     def score(imgs):
         arr = []
@@ -139,7 +147,9 @@ def main(argv=None):
 
             im = Image.fromarray(imgs[name]).resize((299, 299), Image.BILINEAR)
             arr.append(np.asarray(im, np.float32) / 127.5 - 1.0)
-        return EV.frechet_distance(real_feats, EV._vgg_features(np.stack(arr)))
+        return EV.frechet_distance(
+            real_feats, EV.extract_features(np.stack(arr), args.extractor)
+        )
 
     trajectory = []
     if args.include_init:
@@ -174,9 +184,13 @@ def main(argv=None):
         json.dump(
             {
                 "name": args.name,
+                "subset": args.subset,
                 "val_samples": len(names),
-                "extractor": "VGG19-relu4_1 (random-init fallback unless "
-                "pretrained weights present — relative progress only)",
+                "extractor": (
+                    "InceptionV3-pool3" if args.extractor == "inception"
+                    else "VGG19-relu4_1"
+                ) + (" (random-init fallback unless pretrained weights "
+                     "present — relative progress only)"),
                 "trajectory": trajectory,
             },
             f,

@@ -24,10 +24,17 @@ This turns 3 identities into 3 x 5 x 3 = 45 distinct (image, label,
 orient) triples before replication, and writes the 45 unreplicated
 variants under {out}/val_* for FID passes (scripts/fid_trajectory.py).
 
+--augment2 (round 5) densifies the grid to rotations x scales x hues
+(9 x 2 x 5 = 90 variants/identity) and reserves a deterministic HELD-OUT
+subset ({out}/heldout_*: the +15deg rotation entirely, plus one unseen
+rotation-hue combo) that is never replicated into train_ — out-of-sample
+FID/quality checks run on it via scripts/fid_trajectory.py --subset heldout.
+
 Usage:
   python scripts/make_soak_dataset.py --out /tmp/soak_ds --replicas 22
 creates {out}/train_{labels,images,dense_orients} with 3*22 = 66 samples
-(-> 8 full batches of 8 per epoch); add --augment for 45*replicas.
+(-> 8 full batches of 8 per epoch); add --augment for 45*replicas, or
+--augment2 for 234 train variants * replicas + 36 held-out.
 """
 
 from __future__ import annotations
@@ -44,6 +51,20 @@ IDS = ["59144", "60429", "67172"]
 
 ROTATIONS = [0.0, -20.0, -10.0, 10.0, 20.0]
 HUE_SHIFTS = [0, -25, 25]
+
+# --augment2 (round 5): denser grid + scale variants + a HELD-OUT split so
+# quality metrics can be computed out-of-sample (VERDICT r4 weak #1: FID on
+# the training variants is reconstruction evidence, not generation quality).
+ROTATIONS2 = [0.0, -20.0, -15.0, -10.0, -5.0, 5.0, 10.0, 15.0, 20.0]
+HUE_SHIFTS2 = [0, -25, -12, 12, 25]
+SCALES2 = [1.0, 0.88]
+
+
+def _is_heldout(deg, hue, scale):
+    """Deterministic held-out rule: the +15deg rotation is NEVER trained
+    (an entirely unseen geometry parameter), plus one unseen
+    (rotation, hue) combination.  36 of 270 variants (13%)."""
+    return deg == 15.0 or (deg == -15.0 and hue == 25)
 
 
 def _rotate_triple(img, label, orient, deg):
@@ -75,6 +96,27 @@ def _rotate_triple(img, label, orient, deg):
     return rimg, rlabel, rorient.astype(np.uint8)
 
 
+def _scale_triple(img, label, orient, s):
+    """Center-crop to fraction `s` then resize back: a zoom-in variant.
+    Uniform scaling preserves local orientation ANGLES, so the orientation
+    VALUES are untouched (only resampled, nearest like the label)."""
+    import cv2
+
+    if s == 1.0:
+        return img, label, orient
+    h, w = label.shape
+    ch, cw = int(round(h * s)), int(round(w * s))
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+
+    def crop(a):
+        return a[y0 : y0 + ch, x0 : x0 + cw]
+
+    rimg = cv2.resize(crop(img), (w, h), interpolation=cv2.INTER_LINEAR)
+    rlabel = cv2.resize(crop(label), (w, h), interpolation=cv2.INTER_NEAREST)
+    rorient = cv2.resize(crop(orient), (w, h), interpolation=cv2.INTER_NEAREST)
+    return rimg, rlabel, rorient
+
+
 def _hue_shift(img, shift):
     import cv2
 
@@ -85,8 +127,7 @@ def _hue_shift(img, shift):
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
-def _make_variants(ident):
-    """Yield (tag, image_rgb, label, orient) distinct augmented triples."""
+def _load_triple(ident):
     from PIL import Image
 
     img = np.asarray(
@@ -96,12 +137,33 @@ def _make_variants(ident):
     orient = np.asarray(
         Image.open(os.path.join(SRC, "orients", f"{ident}_orient_dense.png"))
     )
+    return img, label, orient
+
+
+def _make_variants(ident):
+    """Yield (tag, image_rgb, label, orient) distinct augmented triples."""
+    img, label, orient = _load_triple(ident)
     k = 0
     for deg in ROTATIONS:
         rimg, rlabel, rorient = _rotate_triple(img, label, orient, deg)
         for hue in HUE_SHIFTS:
             yield f"{ident}a{k:02d}", _hue_shift(rimg, hue), rlabel, rorient
             k += 1
+
+
+def _make_variants2(ident):
+    """Round-5 grid: rotations x scales x hues with the held-out flag.
+    Yields (tag, image, label, orient, heldout)."""
+    img, label, orient = _load_triple(ident)
+    k = 0
+    for deg in ROTATIONS2:
+        rimg, rlabel, rorient = _rotate_triple(img, label, orient, deg)
+        for s in SCALES2:
+            simg, slabel, sorient = _scale_triple(rimg, rlabel, rorient, s)
+            for hue in HUE_SHIFTS2:
+                yield (f"{ident}b{k:03d}", _hue_shift(simg, hue), slabel,
+                       sorient, _is_heldout(deg, hue, s))
+                k += 1
 
 
 def _write_triple(out, subset, name, img, label, orient):
@@ -121,22 +183,59 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--replicas", type=int, default=22)
     ap.add_argument("--augment", action="store_true")
+    ap.add_argument("--augment2", action="store_true",
+                    help="round-5 grid (rot x scale x hue, 270 variants) "
+                    "with a held-out split under {out}/heldout_*")
     args = ap.parse_args(argv)
 
-    for subset in ("train_",) + (("val_",) if args.augment else ()):
+    subsets = ("train_",)
+    if args.augment:
+        subsets += ("val_",)
+    if args.augment2:
+        subsets += ("val_", "heldout_")
+    for subset in subsets:
         for sub in ("images", "labels", "dense_orients"):
             os.makedirs(os.path.join(args.out, f"{subset}{sub}"), exist_ok=True)
 
+    exts = {
+        "images": (".jpg", ""),
+        "labels": (".png", ""),
+        "dense_orients": (".png", "_orient_dense"),
+    }
+
     n = 0
+    if args.augment2:
+        n_held = 0
+        for ident in IDS:
+            for tag, img, label, orient, held in _make_variants2(ident):
+                if held:
+                    _write_triple(args.out, "heldout_", tag, img, label, orient)
+                    n_held += 1
+                    continue
+                _write_triple(args.out, "val_", tag, img, label, orient)
+                for r in range(args.replicas):
+                    for sub, (ext, suffix) in exts.items():
+                        shutil.copyfile(
+                            os.path.join(
+                                args.out, f"val_{sub}", f"{tag}{suffix}{ext}"
+                            ),
+                            os.path.join(
+                                args.out, f"train_{sub}",
+                                f"{tag}_r{r:02d}{suffix}{ext}",
+                            ),
+                        )
+                n += 1
+        print(
+            f"{n} train variants x {args.replicas} replicas + {n_held} "
+            f"HELD-OUT variants (never replicated into train_) x 3 "
+            f"modalities under {args.out}"
+        )
+        return
+
     if args.augment:
         for ident in IDS:
             for tag, img, label, orient in _make_variants(ident):
                 _write_triple(args.out, "val_", tag, img, label, orient)
-                exts = {
-                    "images": (".jpg", ""),
-                    "labels": (".png", ""),
-                    "dense_orients": (".png", "_orient_dense"),
-                }
                 for r in range(args.replicas):
                     for sub, (ext, suffix) in exts.items():
                         shutil.copyfile(

@@ -120,3 +120,35 @@ def test_soak_augment_rotation_wraps_mod_pi():
     _, _, rorient = _rotate_triple(img, label, orient, 30.0)
     center = rorient[24:40, 24:40].astype(np.float64) / 255.0 * 180.0
     assert abs(np.median(center) - 20.0) < 1.5
+
+
+def test_soak_augment2_scale_preserves_orientation_values():
+    """Uniform zoom preserves local angles, so _scale_triple must leave the
+    orientation VALUE SET untouched (only nearest-resampled)."""
+    from scripts.make_soak_dataset import _scale_triple
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    label = (rng.random((64, 64)) > 0.5).astype(np.uint8)
+    orient = rng.integers(0, 255, (64, 64), np.uint8)
+    simg, slabel, sorient = _scale_triple(img, label, orient, 0.88)
+    assert simg.shape == img.shape and sorient.shape == orient.shape
+    assert set(np.unique(sorient)) <= set(np.unique(orient))
+    # identity scale is a no-op
+    i2, l2, o2 = _scale_triple(img, label, orient, 1.0)
+    assert o2 is orient
+
+
+def test_soak_augment2_heldout_rule():
+    """The held-out split must be deterministic, nonempty, and leave the
+    +15deg rotation entirely unseen by training."""
+    from scripts.make_soak_dataset import (
+        HUE_SHIFTS2, ROTATIONS2, SCALES2, _is_heldout,
+    )
+
+    grid = [(d, h, s) for d in ROTATIONS2 for s in SCALES2 for h in HUE_SHIFTS2]
+    held = [g for g in grid if _is_heldout(*g)]
+    train = [g for g in grid if not _is_heldout(*g)]
+    assert len(held) == 12 and len(train) == 78  # per identity
+    assert all(d != 15.0 for d, _h, _s in train)
+    assert any(d == 15.0 for d, _h, _s in held)

@@ -112,3 +112,17 @@ def test_train_step_f32_decode():
     dec = img.astype(jnp.float32) / 127.5 - 1.0
     ref = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref))
+
+
+def test_no_ig_omits_dead_planes():
+    """Without the IG tower nothing consumes hole/orient_rgb (model.py:
+    every reader is behind opt.use_ig), so the wire must not ship them —
+    they were 4 channels of zeros per sample (round-5 stage-2 wire fix)."""
+    ds = _ds(use_ig=False)
+    s = ds.get_sample(0, random.Random(7))
+    assert "hole" not in s and "orient_rgb" not in s
+    # unpaired stage: still omitted, ref planes present
+    ds.step = 2
+    s2 = ds.get_sample(0, random.Random(7))
+    assert "hole" not in s2 and "orient_rgb" not in s2
+    assert "label_ref" in s2 and "image_ref" in s2
