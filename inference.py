@@ -42,6 +42,12 @@ def batch_inference(opt, model, variables, rng):
     infer = jax.jit(lambda v, b: model.infer(v, b, rng=rng)[0])
     os.makedirs(opt.results_dir, exist_ok=True)
     bs = opt.batchSize
+    # the seeded noise pyramid is identical for every sample — draw once
+    from michigan_tpu.ops.noise import generate_noise
+
+    noise = generate_noise(
+        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+    )[None]
     for i in range(0, len(names), bs):
         chunk = names[i : i + bs]
         samples = []
@@ -50,7 +56,7 @@ def batch_inference(opt, model, variables, rng):
                 opt, inference_ref_name=name, inference_tag_name=name,
                 inference_orient_name=name,
             )
-            samples.append(single_inference_data(o))
+            samples.append(single_inference_data(o, noise=noise))
         batch = {
             k: jnp.asarray(np.concatenate([s[k] for s in samples]))
             for k in samples[0]

@@ -31,8 +31,13 @@ def _label_tensor(transform_label, img: Image.Image, label_nc: int) -> np.ndarra
     return t[None]  # (1,H,W,1)
 
 
-def single_inference_data(opt) -> Dict[str, np.ndarray]:
-    """Reference single_inference_dataLoad (base_dataset.py:49-160)."""
+def single_inference_data(opt, noise: Optional[np.ndarray] = None
+                          ) -> Dict[str, np.ndarray]:
+    """Reference single_inference_dataLoad (base_dataset.py:49-160).
+
+    `noise` lets batch renderers reuse the seeded pyramid: it is a pure
+    function of (--seed, crop_size), so every sample draws the identical
+    array anyway (inference.py batch_inference)."""
     base, sub = opt.data_dir, opt.subset
     p = lambda kind, name, ext: os.path.join(base, f"{sub}_{kind}", name + ext)
     label_ref = Image.open(p("labels", opt.inference_ref_name, ".png"))
@@ -80,11 +85,12 @@ def single_inference_data(opt) -> Dict[str, np.ndarray]:
     else:
         hole_t = np.zeros_like(label_tag_t)
 
-    # seeded from --seed: makes CLI inference reproducible (the
-    # reference draws from the global numpy RNG, base_dataset.py:387-396)
-    noise = generate_noise(
-        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
-    )[None]
+    if noise is None:
+        # seeded from --seed: makes CLI inference reproducible (the
+        # reference draws from the global numpy RNG, base_dataset.py:387-396)
+        noise = generate_noise(
+            opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+        )[None]
 
     ti = get_transform(opt, params, color=opt.color_jitter)
     image_ref_t = ti(image_ref.convert("RGB"))[None]

@@ -91,7 +91,13 @@ def main(argv=None):
 
     model = MichiGANModel(opt)
 
-    # host-side sample prep once (shared across epochs)
+    # host-side sample prep once (shared across epochs); the seeded noise
+    # pyramid is identical per sample, draw it once
+    from michigan_tpu.ops.noise import generate_noise
+
+    noise = generate_noise(
+        opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
+    )[None]
     batches = []
     for i in range(0, len(names), args.batchSize):
         chunk = names[i : i + args.batchSize]
@@ -101,7 +107,7 @@ def main(argv=None):
                 opt, inference_ref_name=name, inference_tag_name=name,
                 inference_orient_name=name,
             )
-            samples.append(single_inference_data(o))
+            samples.append(single_inference_data(o, noise=noise))
         batch = {
             k: np.concatenate([s[k] for s in samples])
             for k in samples[0]

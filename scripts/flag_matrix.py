@@ -37,14 +37,21 @@ import subprocess
 import sys
 import time
 
-# base = the reference's training command of record (README.md:60) at the
-# bf16 fused config of record, minus the loss ablations so every term is
-# exercised (the r4 soak already proved the all-losses/no-IG config)
+# base = the reference's training command of record VERBATIM (README.md:60,
+# including its loss ablations — the reference record trains with
+# confidence/style/rgb/content/background losses OFF) at the bf16 fused
+# config.  An earlier round-5 attempt ran the matrix with every loss term ON
+# + --use_ig: that composite (which the reference never runs at once) OOMs
+# bs8 on a 16G v5e — measured, and covered instead by the dedicated
+# `all_losses_remat` row below; the all-losses/no-IG composite is proven by
+# the r4/r5 soaks.
 BASE = [
     "--batchSize", "8", "--crop_size", "512", "--load_size", "568",
     "--dtype", "bfloat16", "--fused_step",
     "--use_encoder", "--use_ig", "--noise_background", "--random_expand_mask",
     "--wide_edge", "2",
+    "--no_confidence_loss", "--no_style_loss", "--no_rgb_loss",
+    "--no_content_loss", "--no_background_loss",
     "--nThreads", "4", "--device_prefetch", "2", "--decode_cache_mb", "256",
     "--device_noise",
     "--niter", "2000", "--max_steps", "40",
@@ -79,6 +86,12 @@ CONFIGS = [
      "dense-orient path without the IG tower"),
     ("unpair", ["--unpairTrain", "--same_netD_model"], {"hairAvgLab"},
      "two-stage: D2 + hairAvgLab (train.py:42-90)"),
+    ("all_losses_remat", [
+        "~--no_confidence_loss", "~--no_style_loss", "~--no_rgb_loss",
+        "~--no_content_loss", "~--no_background_loss",
+        "--remat", "--remat_blocks", "up_1,up_2,up_3",
+    ], {"style", "content", "rgb", "background", "CONFIDENCE"},
+     "every loss term + IG at bs8: needs remat on 16G (measured OOM without)"),
     ("most_1024", [
         "--num_upsampling_layers", "most", "--crop_size", "1024",
         "--load_size", "1136", "--batchSize", "1", "--max_steps", "200",
