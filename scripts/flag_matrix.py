@@ -119,6 +119,9 @@ def parse_losses(text: str):
     return last
 
 
+REMAT_FALLBACK = ["--remat", "--remat_blocks", "up_1,up_2,up_3"]
+
+
 def run_config(key, extra, expected_losses, note, args):
     t0 = time.time()
     ck = os.path.join(args.ck_root, key)
@@ -140,10 +143,26 @@ def run_config(key, extra, expected_losses, note, args):
     p = subprocess.run(cmd, capture_output=True, text=True,
                        timeout=args.timeout)
     out = p.stdout + p.stderr
+    remat_fallback = False
+    oom = any(s in out for s in ("RESOURCE_EXHAUSTED", "ResourceExhausted",
+                                 "Ran out of memory"))
+    if p.returncode != 0 and oom and "--remat" not in train_flags:
+        # same policy as bench.py's OOM ladder: the flag under test is the
+        # point, the memory budget is not — retry once with remat and
+        # record the step-down honestly
+        remat_fallback = True
+        train_flags = train_flags + REMAT_FALLBACK
+        cmd = cmd + REMAT_FALLBACK
+        print(f"[{key}] OOM; retrying with {' '.join(REMAT_FALLBACK)}",
+              flush=True)
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=args.timeout)
+        out = p.stdout + p.stderr
     losses = parse_losses(out)
     wall = WALL_LINE.findall(out)
     row = {
         "config": key, "note": note, "extra_flags": extra,
+        "remat_fallback": remat_fallback,
         "train_rc": p.returncode,
         "losses": losses,
         "wall_img_per_s": float(wall[-1][0]) if wall else None,
@@ -226,9 +245,19 @@ def main(argv=None):
                        check=True)
 
     only = {s for s in args.only.split(",") if s}
+    # partial rerun (--only) merges into an existing artifact: rows not
+    # selected keep their previous result
+    kept = {}
+    if only and os.path.exists(args.out):
+        for r in json.load(open(args.out)).get("rows", []):
+            if r.get("config") not in only:
+                kept[r["config"]] = r
+
     rows = []
     for key, extra, expected, note in CONFIGS:
         if only and key not in only:
+            if key in kept:
+                rows.append(kept[key])
             continue
         try:
             rows.append(run_config(key, extra, expected, note, args))

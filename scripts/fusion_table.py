@@ -36,7 +36,8 @@ def _load_xspace(trace_dir: str):
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     path = paths[-1]
     xspace = None
-    for mod in ("xprof.protobuf.xplane_pb2",
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "xprof.protobuf.xplane_pb2",
                 "tensorflow.core.profiler.protobuf.xplane_pb2",
                 "tsl.profiler.protobuf.xplane_pb2"):
         try:
@@ -52,29 +53,24 @@ def _load_xspace(trace_dir: str):
     raise ImportError("no xplane_pb2 proto module importable")
 
 
-def device_op_durations(xspace):
-    """Sum device-plane event durations by event name (HLO op / fusion).
-
-    Returns ({name: {"ms": total, "count": n}}, total_device_ms)."""
+def device_op_durations(xspace, verbose=False):
+    """Sum device-plane "XLA Ops" event durations by event name (HLO op /
+    fusion).  Returns ({name: {"ms": total, "count": n}}, total_device_ms)."""
     out = {}
     total = 0.0
+    seen = []
     for plane in xspace.planes:
-        name = plane.name or ""
-        if "TPU" not in name and "/device" not in name.lower():
+        pname = plane.name or ""
+        seen.append((pname, [l.name for l in plane.lines]))
+        is_device = ("TPU" in pname) or pname.lower().startswith("/device")
+        if not is_device:
             continue
-        if "#Chip" not in name and "TPU" not in name:
-            continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()} if \
-            hasattr(plane.event_metadata, "values") else {}
-        if not ev_meta:
-            ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
+        ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name or ""
-            # XLA op lines carry per-op events; step/module lines would
-            # double-count
-            if lname.lower() in ("steps", "step"):
-                continue
-            if "xla op" not in lname.lower() and "ops" not in lname.lower():
+            lname = (line.name or "").lower()
+            # the per-op line; "steps"/"xla modules"/framework lines would
+            # double-count the same wall time
+            if "xla ops" not in lname and lname != "xla op":
                 continue
             for ev in line.events:
                 nm = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
@@ -83,6 +79,10 @@ def device_op_durations(xspace):
                 rec["ms"] += ms
                 rec["count"] += 1
                 total += ms
+    if not out and verbose:
+        print("no 'XLA Ops' device line found; planes in trace:")
+        for pname, lines in seen:
+            print(f"  {pname!r}: {lines}")
     return out, total
 
 
@@ -174,7 +174,7 @@ def main(argv=None):
         print(f"steady-state fused step: {step_ms:.1f} ms")
 
     xspace, xpath = _load_xspace(args.trace_dir)
-    ops, total_ms = device_op_durations(xspace)
+    ops, total_ms = device_op_durations(xspace, verbose=True)
     per_step = total_ms / max(traced, 1)
     rows = sorted(ops.items(), key=lambda kv: -kv[1]["ms"])[: args.top]
     print(f"device op time total {total_ms:.1f} ms over {traced} steps "
