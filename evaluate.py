@@ -57,6 +57,7 @@ def _vgg_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
     variables, pretrained = load_vgg19_variables(
         jax.random.PRNGKey(0), context="evaluate.py FID"
     )
+    extract_features.last_pretrained = pretrained
     if not pretrained:
         print(
             "WARNING: FID is computed on a RANDOM VGG backbone — the numbers "
@@ -88,6 +89,7 @@ def _inception_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
     params, pretrained = load_inception_params(
         jax.random.PRNGKey(0), context="evaluate.py FID"
     )
+    extract_features.last_pretrained = pretrained
     if not pretrained:
         print(
             "WARNING: FID is computed on a RANDOM InceptionV3 backbone — the "
@@ -104,6 +106,10 @@ def _inception_features(images: np.ndarray, batch: int = 8) -> np.ndarray:
 
 def extract_features(images: np.ndarray, extractor: str = "vgg",
                      batch: int = 8) -> np.ndarray:
+    """After a call, `extract_features.last_pretrained` says whether the
+    backbone had real weights — headline FID numbers must carry that tag
+    (VERDICT r4 weak #6: a random-backbone FID quoted untagged reads as a
+    comparable number when it is relative-progress-only)."""
     if extractor == "inception":
         return _inception_features(images, batch)
     if extractor == "vgg":
@@ -111,9 +117,18 @@ def extract_features(images: np.ndarray, extractor: str = "vgg",
     raise ValueError(f"unknown FID extractor {extractor!r}")
 
 
+extract_features.last_pretrained = False
+
+
 def frechet_distance(f1: np.ndarray, f2: np.ndarray, eps: float = 1e-6) -> float:
     from scipy import linalg
 
+    if len(f1) < 2 or len(f2) < 2:
+        # np.cov of one observation is a scalar nan; fail with the actual
+        # problem instead of an index error deep in the ridge math
+        raise ValueError(
+            f"FID needs >=2 images per side, got {len(f1)}/{len(f2)}"
+        )
     mu1, mu2 = f1.mean(0), f2.mean(0)
     c1 = np.cov(f1, rowvar=False)
     c2 = np.cov(f2, rowvar=False)
@@ -161,6 +176,8 @@ def main(argv=None):
     )
     tag = ("InceptionV3-pool3" if args.extractor == "inception"
            else "VGG-feature variant")
+    if not extract_features.last_pretrained:
+        tag += ", RANDOM backbone — relative-progress only"
     print(f"FID ({tag}): {fid:.3f} over {len(real)}/{len(fake)} images")
     return fid
 

@@ -195,8 +195,10 @@ def main(argv=None):
                 "extractor": (
                     "InceptionV3-pool3" if args.extractor == "inception"
                     else "VGG19-relu4_1"
-                ) + (" (random-init fallback unless pretrained weights "
-                     "present — relative progress only)"),
+                ),
+                # False => random backbone: the trajectory measures
+                # relative progress only, NOT comparable to published FID
+                "extractor_pretrained": bool(EV.extract_features.last_pretrained),
                 "trajectory": trajectory,
             },
             f,
