@@ -115,9 +115,14 @@ class MichiGANModel:
                 pre["noise"],
             )
         if self.netFE is not None:
+            # --no_instance pipelines carry a degenerate (N,) placeholder
+            # under "instance" (single.py/pix2pix loaders); netFE init needs
+            # a real NHWC map (flushed by the r5 flag-matrix inference run)
+            inst = batch.get("instance")
+            if inst is None or getattr(inst, "ndim", 0) != 4:
+                inst = jnp.zeros_like(pre["image_tag"][..., :1])
             out["netFE"] = self.netFE.init(
-                jax.random.fold_in(keys[6], 1), pre["image_tag"],
-                batch.get("instance", jnp.zeros_like(pre["image_tag"][..., :1])),
+                jax.random.fold_in(keys[6], 1), pre["image_tag"], inst,
             )
         if self.vgg is not None:
             from michigan_tpu.models.vgg import load_vgg19_variables

@@ -142,3 +142,33 @@ def test_cal_orientation_bulk_mode(tmp_path, rng):
         "--orientation_root", str(out),
     ])
     assert (out / "bb.png").exists()
+
+
+def test_init_variables_with_degenerate_instance_placeholder(rng):
+    """--use_instance_feat init must tolerate the (N,) instance placeholder
+    that --no_instance pipelines carry (single.py returns
+    np.zeros((1,), f32)); flushed by the round-5 flag-matrix inference run
+    on the real chip."""
+    from michigan_tpu.config import Options
+    from michigan_tpu.model import MichiGANModel
+
+    opt = Options(
+        isTrain=False, crop_size=64, load_size=64, ngf=8,
+        num_upsampling_layers="normal", use_encoder=True,
+        use_instance_feat=True, batchSize=1,
+    ).finalize()
+    model = MichiGANModel(opt)
+    s = 64
+    batch = {
+        "label_ref": jnp.zeros((1, s, s, 1)),
+        "label_tag": jnp.zeros((1, s, s, 1)),
+        "image_ref": jnp.zeros((1, s, s, 3)),
+        "image_tag": jnp.zeros((1, s, s, 3)),
+        "orient": jnp.zeros((1, s, s, 1)),
+        "hole": jnp.zeros((1, s, s, 1)),
+        "orient_rgb": jnp.zeros((1, s, s, 3)),
+        "noise": jnp.zeros((1, s, s, 3)),
+        "instance": jnp.zeros((1,)),  # the degenerate placeholder
+    }
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    assert "netFE" in variables
