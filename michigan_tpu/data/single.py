@@ -118,13 +118,32 @@ def demo_inference_data(
     mask_stroke: Optional[np.ndarray] = None,
     mask_hole: Optional[np.ndarray] = None,
     noise: Optional[np.ndarray] = None,
+    cache: Optional[dict] = None,
 ) -> Dict[str, np.ndarray]:
     """Reference demo_inference_dataLoad (base_dataset.py:162-276).
 
     `noise` lets interactive callers (demo/engine.py) reuse one seeded
     pyramid across edits — it is a pure function of (--seed, crop_size), so
     recomputing it per edit only burned the host-prep budget (the pyramid is
-    the hottest per-sample host op, PERF.md input-pipeline section)."""
+    the hottest per-sample host op, PERF.md input-pipeline section).
+
+    `cache` (engine-owned dict) memoizes the planes that are pure functions
+    of the OPENED inputs — the ref label file and the two PIL images — which
+    an interactive session changes rarely (only when the user opens a new
+    file) while the mask/stroke planes change every edit.  Keys hold a
+    strong reference to the keyed PIL object so a Python id() cannot be
+    reused while its entry is alive."""
+
+    def memo(key_obj, tag, fn):
+        if cache is None:
+            return fn()
+        key = (tag, key_obj if isinstance(key_obj, str) else id(key_obj))
+        if key not in cache:
+            # the stored strong ref keeps key_obj alive, so its id() cannot
+            # be reused by a different object while this entry exists
+            cache[key] = (key_obj, fn())
+        return cache[key][1]
+
     label_ref = Image.open(ref_label_path)
     label_tag = Image.fromarray(np.uint8(tag_label))
     orient_mask = Image.fromarray(np.uint8(mask_orient))
@@ -132,7 +151,8 @@ def demo_inference_data(
 
     params = get_params(opt, label_ref.size)
     tl = get_transform(opt, params, method=Image.NEAREST, normalize=False)
-    label_ref_t = _label_tensor(tl, label_ref, opt.label_nc)
+    label_ref_t = memo(ref_label_path, "label_ref",
+                       lambda: _label_tensor(tl, label_ref, opt.label_nc))
     if opt.expand_tag_mask:
         label_tag = _dilate_pil(label_tag, 25)
     label_tag_t = _label_tensor(tl, label_tag, opt.label_nc)
@@ -168,8 +188,15 @@ def demo_inference_data(
             opt.crop_size, opt.crop_size, np.random.default_rng(opt.seed)
         )[None]
     ti = get_transform(opt, params, color=opt.color_jitter)
-    image_ref_t = ti(ref_image.convert("RGB"))[None]
-    image_tag_t = get_transform(opt, params)(tag_image.convert("RGB"))[None]
+    if opt.color_jitter:
+        # jitter draws fresh randomness per call — never memoize it
+        image_ref_t = ti(ref_image.convert("RGB"))[None]
+    else:
+        image_ref_t = memo(ref_image, "image_ref",
+                           lambda: ti(ref_image.convert("RGB"))[None])
+    image_tag_t = memo(
+        tag_image, "image_tag",
+        lambda: get_transform(opt, params)(tag_image.convert("RGB"))[None])
     orient_t = tl(orient_ref)[None] * 255.0
 
     return {

@@ -97,7 +97,8 @@ class DemoEngine:
     """Holds config + model + variables + the compiled inference fn."""
 
     def __init__(self, opt, variables=None, rng_seed: int = 0,
-                 precompile: bool = False, compact_wire: bool = True):
+                 precompile: bool = False, compact_wire: bool = True,
+                 split_sync: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -112,6 +113,10 @@ class DemoEngine:
         self._compiled: Dict[str, object] = {}
         self._noise_dev = None  # per-session device-resident noise pyramid
         self.compact_wire = compact_wire
+        self.split_sync = split_sync
+        # memo for the rarely-changing prep planes (ref label / both
+        # images); see data/single.demo_inference_data's `cache` contract
+        self._prep_cache: Dict[object, object] = {}
         if variables is None:
             dummy = self._dummy_batch()
             variables = self.model.init_variables(self._rng, dummy)
@@ -182,12 +187,17 @@ class DemoEngine:
                 img = jnp.clip(
                     (out.astype(jnp.float32) + 1.0) / 2.0 * 255.0, 0, 255
                 ).astype(jnp.uint8)
-                o8 = None
                 if orient_rgb is not None:
                     o8 = (orient_rgb.astype(jnp.float32) * 255.0).astype(
                         jnp.uint8
                     )
-                return img, o8
+                    # one stacked array -> ONE D2H fetch for both planes.
+                    # On the relay every fetch pays a ~44 ms round trip on
+                    # top of bytes/bandwidth (measured: 2 fetches of 1.5 MB
+                    # total = 114 ms), so shipping [2,H,W,3] in a single
+                    # np.asarray halves the fixed cost per edit.
+                    return jnp.concatenate([img, o8], axis=0)
+                return img
 
             self._compiled[mode] = jax.jit(fn)
         return self._compiled[mode]
@@ -227,6 +237,7 @@ class DemoEngine:
             self.opt, ref_label_path, tag_label, mask_orient, ref_orient,
             ref_image, tag_image, orient_stroke, mask_stroke, mask_hole,
             noise=np.zeros((1,), np.float32),  # placeholder; device copy used
+            cache=self._prep_cache,
         )
         if self.compact_wire:
             data = encode_wire(data)
@@ -239,21 +250,24 @@ class DemoEngine:
         t_h2d = time.perf_counter()
         infer = self._get_infer(inpaint_mode)
         t0 = time.time()
-        out, orient_rgb = infer(self.variables, batch)
+        out = infer(self.variables, batch)
         # tiny-scalar fetch = completion sync that moves 1 byte, so device
         # compute separates from the image D2H below (block_until_ready
-        # does not block through the axon relay — PERF.md)
-        int(out[0, 0, 0, 0])
+        # does not block through the axon relay — PERF.md).  This costs one
+        # relay round trip and exists purely for phase attribution; set
+        # split_sync=False to fold it into the single fetch below.
+        if self.split_sync:
+            int(out[0, 0, 0, 0])
         t_compute = time.perf_counter()
-        # crop + uint8 encode already happened ON DEVICE (_get_infer): the
+        # crop + uint8 encode already happened ON DEVICE (_get_infer), and
+        # result + orient_rgb come back stacked in one array: the single
         # fetch here is the final display bytes, nothing left to decode
-        img = np.asarray(out)[0]
+        arr = np.asarray(out)
+        img = arr[0]
         latency = time.time() - t0
         print(f"inference time: {latency:.3f}s")
 
-        orient_out = None
-        if orient_rgb is not None:
-            orient_out = np.asarray(orient_rgb)[0]
+        orient_out = arr[1] if arr.shape[0] > 1 else None
         t_end = time.perf_counter()
         # per-phase wall breakdown of the whole edit (demo.py:363-366 only
         # times the forward); host_prep = rasterize/transform/dict build,

@@ -77,9 +77,28 @@ def main(argv=None):
         keys = rows[0].keys()
         return {k: float(np.median([r[k] for r in rows])) for k in keys}
 
+    # relay round-trip floor: a 1-element fetch moves no meaningful bytes,
+    # so its wall time IS the per-fetch fixed cost every D2H pays on this
+    # tunnel (~0 on local PCIe hardware).  Reported so the local-hardware
+    # latency claim is arithmetic: subtract rtt from each sync/fetch phase.
+    import time as _time
+
+    import jax.numpy as jnp
+
+    one = jnp.zeros((1,), jnp.uint8) + 1
+    np.asarray(one)
+    rtts = []
+    for _ in range(10):
+        t0 = _time.perf_counter()
+        np.asarray(one + 0)
+        rtts.append(_time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"relay 1-byte fetch round trip: {rtt * 1e3:.1f} ms")
+
     report = {
         "config": "released-demo (demo_options.py:12-31 analog)",
         "iters": args.iters,
+        "relay_rtt_s": rtt,
         "modes": {m: run(m) for m in ("ref", "stroke")},
     }
     for m, t in report["modes"].items():
