@@ -199,18 +199,21 @@ def demo_inference_data(
         lambda: get_transform(opt, params)(tag_image.convert("RGB"))[None])
     orient_t = tl(orient_ref)[None] * 255.0
 
+    # copy=False: these planes are read-only downstream (encode_wire /
+    # jnp.asarray allocate fresh buffers), and a copy here would both burn
+    # host-prep time and defeat the memo's identity contract
     return {
-        "label_ref": label_ref_t.astype(np.float32),
-        "label_tag": label_tag_t.astype(np.float32),
+        "label_ref": label_ref_t.astype(np.float32, copy=False),
+        "label_tag": label_tag_t.astype(np.float32, copy=False),
         "instance": np.zeros((1,), np.float32),
-        "image_ref": image_ref_t.astype(np.float32),
-        "image_tag": image_tag_t.astype(np.float32),
+        "image_ref": image_ref_t.astype(np.float32, copy=False),
+        "image_tag": image_tag_t.astype(np.float32, copy=False),
         "path": None,
-        "orient": orient_t.astype(np.float32),
-        "hole": hole_t.astype(np.float32),
-        "orient_rgb": orient_rgb_t.astype(np.float32),
-        "orient_rgb_mask": orient_rgb_mask.astype(np.float32),
-        "noise": noise.astype(np.float32),
-        "orient_stroke": stroke_t.astype(np.float32),
-        "mask_stroke": mask_stroke_t.astype(np.float32),
+        "orient": orient_t.astype(np.float32, copy=False),
+        "hole": hole_t.astype(np.float32, copy=False),
+        "orient_rgb": orient_rgb_t.astype(np.float32, copy=False),
+        "orient_rgb_mask": orient_rgb_mask.astype(np.float32, copy=False),
+        "noise": noise.astype(np.float32, copy=False),
+        "orient_stroke": stroke_t.astype(np.float32, copy=False),
+        "mask_stroke": mask_stroke_t.astype(np.float32, copy=False),
     }

@@ -76,3 +76,38 @@ def test_edit_returns_device_encoded_orient(edit_args):
     img, orient_out, _ = _run(opt, edit_args, compact=True)
     assert orient_out is not None
     assert orient_out.dtype == np.uint8 and orient_out.shape == (64, 64, 3)
+
+
+def test_prep_cache_memoizes_rarely_changing_planes(edit_args):
+    """demo_inference_data(cache=...) must reuse the ref-label/image planes
+    across edits (they change only when the user opens a new file) while
+    still recomputing the per-edit mask planes."""
+    from michigan_tpu.data.single import demo_inference_data
+
+    opt = _opt()
+    cache = {}
+    kw = dict(edit_args)
+    d1 = demo_inference_data(opt, noise=np.zeros((1,), np.float32),
+                             cache=cache, **kw)
+    d2 = demo_inference_data(opt, noise=np.zeros((1,), np.float32),
+                             cache=cache, **kw)
+    # identity: these came straight out of the memo
+    assert d1["label_ref"] is d2["label_ref"]
+    assert d1["image_ref"] is d2["image_ref"]
+    assert d1["image_tag"] is d2["image_tag"]
+    # a changed mask produces a fresh hole plane and identical cached planes
+    m2 = kw["mask_orient"].copy()
+    m2[: m2.shape[0] // 2] = 0
+    d3 = demo_inference_data(opt, noise=np.zeros((1,), np.float32),
+                             cache=cache, **{**kw, "mask_orient": m2})
+    assert d3["image_ref"] is d1["image_ref"]
+    assert not np.array_equal(d3["hole"], d1["hole"])
+    # a NEW tag image object invalidates its entry (id keyed + strong ref)
+    new_tag = kw["tag_image"].copy()
+    d4 = demo_inference_data(opt, noise=np.zeros((1,), np.float32),
+                             cache=cache, **{**kw, "tag_image": new_tag})
+    assert d4["image_tag"] is not d1["image_tag"]
+    np.testing.assert_allclose(d4["image_tag"], d1["image_tag"])
+    # no-cache calls recompute everything
+    d5 = demo_inference_data(opt, noise=np.zeros((1,), np.float32), **kw)
+    assert d5["image_ref"] is not d1["image_ref"]
