@@ -28,10 +28,17 @@ while true; do
   echo "=== attempt $attempt $RESUME ===" >> "$LOG"
   PYTHONUNBUFFERED=1 "$@" $RESUME >> "$LOG" 2>&1 &
   PID=$!
+  START=$(date +%s)
   while kill -0 $PID 2>/dev/null; do
     sleep 60
     if [ -f "$SC" ]; then
-      age=$(( $(date +%s) - $(stat -c %Y "$SC") ))
+      # staleness measured from max(last write, THIS attempt's start):
+      # after a kill the file's old mtime would otherwise mark every
+      # resumed attempt stale before its recompile+first-print window
+      # (the exact failure that burned attempts 3-8 of the r5 soak)
+      M=$(stat -c %Y "$SC")
+      [ "$M" -lt "$START" ] && M=$START
+      age=$(( $(date +%s) - M ))
       if [ "$age" -gt "$STALL_S" ]; then
         echo "=== scalars stale ${age}s: killing wedged trainer $PID ===" >> "$LOG"
         kill -9 $PID
